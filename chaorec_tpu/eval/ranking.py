@@ -1,0 +1,78 @@
+"""Full-catalog ranking: fused score + history-mask + top-k, on device.
+
+The reference's ``gene_ranklist`` (Model/LightGCN.py:137-162) moves both
+embedding tables to the *CPU*, materializes the full U x I score matrix
+there, masks history with a Python dict loop, and calls ``torch.topk`` —
+the #1 wall-clock sink of its eval path (SURVEY.md §3.1).
+
+TPU-native replacement: score users in chunks on device — each chunk is one
+(chunk x D) @ (D x I) MXU matmul — apply the history mask as a vectorized
+scatter into the chunk (reference semantics preserved exactly: seen items
+are *assigned* score ``1e-6``, not -inf; Model/BPR.py:81-83), then
+``jax.lax.top_k``. Only the (U, topk) int32 rank lists ever leave the
+device. Item ids in the returned rank list are **global** (offset by
+num_user), matching the reference's output contract.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("topk", "num_user"))
+def _rank_chunk(
+    user_emb_chunk: jnp.ndarray,  # (C, D)
+    item_emb: jnp.ndarray,  # (I, D)
+    hist_chunk: jnp.ndarray,  # (C, H) 0-based item ids, fill = num_item
+    topk: int,
+    num_user: int,
+) -> jnp.ndarray:
+    # bf16 MXU scoring with fp32 accumulation: ranking is ordinal, and the
+    # fp32-accumulated bf16 matmul preserves top-k order to well below the
+    # score gaps between catalog items.
+    scores = jnp.dot(
+        user_emb_chunk.astype(jnp.bfloat16),
+        item_emb.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
+    # History mask: assign 1e-6 (reference semantics). Sentinel columns
+    # (fill = num_item) are out of range and dropped by XLA scatter.
+    rows = jnp.broadcast_to(
+        jnp.arange(hist_chunk.shape[0], dtype=jnp.int32)[:, None], hist_chunk.shape
+    )
+    scores = scores.at[rows, hist_chunk].set(1e-6, mode="drop")
+    _, idx = jax.lax.top_k(scores, topk)
+    return idx.astype(jnp.int32) + num_user
+
+
+def gene_ranklist(
+    user_emb: jnp.ndarray,
+    item_emb: jnp.ndarray,
+    history_values: jnp.ndarray,
+    num_user: int,
+    topk: int = 50,
+    user_chunk: int = 4096,
+) -> jnp.ndarray:
+    """Rank the full catalog for every user. Returns (num_user, topk) int32
+    of *global* item ids (0-based id + num_user), like the reference's
+    ``gene_ranklist(topk=50)``."""
+    topk = min(topk, item_emb.shape[0])
+    n = user_emb.shape[0]
+    outs = []
+    for start in range(0, n, user_chunk):
+        end = min(start + user_chunk, n)
+        outs.append(
+            _rank_chunk(
+                user_emb[start:end],
+                item_emb,
+                history_values[start:end],
+                topk,
+                num_user,
+            )
+        )
+    return jnp.concatenate(outs, axis=0)

@@ -1,0 +1,199 @@
+"""Shared normalized-adjacency graph library.
+
+The reference copy-pastes ``get_norm_adj_mat`` (scipy DOK -> D^-1/2 (A) D^-1/2
+-> torch sparse COO) into ~20 model files (Model/DiffMM.py:116-156,
+Model/NCL.py:97-137, Model/BSPM.py:70-118, Model/MHRec.py:469-497, ...) and
+uses PyG ``MessagePassing`` + torch-scatter CUDA kernels for propagation
+(BasicGCN.py:21-87, Model/LightGCN.py:21-46). This module is the single
+TPU-native replacement.
+
+TPU-first design decisions:
+- The user-item graph is *bipartite*: the symmetric normalized adjacency
+  ``A_hat = [[0, R], [R^T, 0]]`` with ``R[u, i] = 1/sqrt(d_u * d_i)`` never
+  needs to be materialized as an (U+I)^2 operator. One propagation step is
+  exactly ``new_user = R @ item_emb`` and ``new_item = R^T @ user_emb``.
+- Two execution paths behind one interface:
+  * **dense**: R materialized as a (U, I) matrix; propagation is two MXU
+    matmuls. Optimal for small/medium catalogs (the reference's datasets
+    fit comfortably in HBM; e.g. sports R is 28940 x 15207 fp32 = 1.7 GB,
+    bf16 880 MB).
+  * **segment**: sorted-COO gather + ``jax.ops.segment_sum`` with
+    ``indices_are_sorted=True``. O(E) memory, used above the dense
+    threshold (electronics-scale).
+- Static shapes everywhere: per-epoch edge *pruning* (FREEDOM
+  ``pre_epoch_processing``, Model/FREEDOM.py:143-162) multiplies edge
+  weights by a 0/1 mask instead of dropping entries, so jitted programs
+  never retrace.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def node_degrees(edges: np.ndarray, num_user: int, num_item: int) -> Tuple[np.ndarray, np.ndarray]:
+    """User and item degrees from (E, 2) [user, item0based] edges."""
+    du = np.bincount(edges[:, 0], minlength=num_user).astype(np.float32)
+    di = np.bincount(edges[:, 1], minlength=num_item).astype(np.float32)
+    return du, di
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class BipartiteGraph:
+    """Symmetric-normalized user-item interaction graph.
+
+    Fields are jnp arrays (leaves) so a graph can be passed straight into
+    jitted functions; ``num_user``/``num_item``/``use_dense`` are static.
+    """
+
+    num_user: int
+    num_item: int
+    use_dense: bool
+    # "float32": 6-pass fp32-exact MXU matmuls. "bfloat16": 1-pass bf16
+    # inputs with fp32 accumulation — the standard TPU training numerics
+    # (~6x faster, R stored bf16 so HBM traffic halves as well).
+    compute_dtype: str
+    # COO sorted by user (for new_user) and by item (for new_item).
+    u_by_u: jnp.ndarray  # (E,) user ids, ascending
+    i_by_u: jnp.ndarray  # (E,) item ids aligned with u_by_u
+    w_by_u: jnp.ndarray  # (E,) edge weights aligned with u_by_u
+    u_by_i: jnp.ndarray
+    i_by_i: jnp.ndarray  # ascending
+    w_by_i: jnp.ndarray
+    dense_r: Optional[jnp.ndarray]  # (U, I) normalized R, or None
+
+    def tree_flatten(self):
+        leaves = (self.u_by_u, self.i_by_u, self.w_by_u,
+                  self.u_by_i, self.i_by_i, self.w_by_i, self.dense_r)
+        aux = (self.num_user, self.num_item, self.use_dense, self.compute_dtype)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        nu, ni, dense, cdt = aux
+        return cls(nu, ni, dense, cdt, *leaves)
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.u_by_u.shape[0])
+
+    def propagate(
+        self, user_emb: jnp.ndarray, item_emb: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One symmetric-normalized propagation step.
+
+        Equivalent to the reference's ``LightGCNConv.forward``
+        (Model/LightGCN.py:28-43): messages ``norm * x_src`` scatter-added
+        at the destination, over the undirected bipartite edge set.
+        """
+        if self.use_dense:
+            if self.compute_dtype == "bfloat16":
+                xu = user_emb.astype(jnp.bfloat16)
+                xi = item_emb.astype(jnp.bfloat16)
+                new_u = jnp.dot(self.dense_r, xi,
+                                preferred_element_type=jnp.float32)
+                new_i = jnp.dot(self.dense_r.T, xu,
+                                preferred_element_type=jnp.float32)
+                return new_u, new_i
+            new_u = jnp.dot(self.dense_r, item_emb,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            new_i = jnp.dot(self.dense_r.T, user_emb,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            return new_u, new_i
+        new_u = jax.ops.segment_sum(
+            self.w_by_u[:, None] * item_emb[self.i_by_u],
+            self.u_by_u,
+            num_segments=self.num_user,
+            indices_are_sorted=True,
+        )
+        new_i = jax.ops.segment_sum(
+            self.w_by_i[:, None] * user_emb[self.u_by_i],
+            self.i_by_i,
+            num_segments=self.num_item,
+            indices_are_sorted=True,
+        )
+        return new_u, new_i
+
+    def with_edge_mask(self, mask: jnp.ndarray) -> "BipartiteGraph":
+        """Static-shape edge dropout/pruning: zero masked edge weights.
+
+        ``mask`` is (E,) in {0,1}, aligned with the *by_u* edge order.
+        Replaces dynamic-shape edge dropping (Model/FREEDOM.py:143-162,
+        SGL's dropped adjacency copies) without retracing.
+        """
+        w_u = self.w_by_u * mask
+        # Re-align the mask with the by-item ordering via the stored perm.
+        if self.use_dense:
+            dense = jnp.zeros_like(self.dense_r).at[self.u_by_u, self.i_by_u].add(w_u)
+            return replace(self, w_by_u=w_u, dense_r=dense)
+        # by_i order: recompute via scatter into by_i permutation positions.
+        # We store weights independently; reconstruct by sorting mask the
+        # same way w_by_i was built: mask_by_i = mask[perm_u_to_i].
+        raise NotImplementedError(
+            "edge masks on segment-path graphs require perm_u_to_i; "
+            "use build_norm_adj(..., keep_perm=True)"
+        )
+
+
+def build_norm_adj(
+    edges: np.ndarray,
+    num_user: int,
+    num_item: int,
+    use_dense: Optional[bool] = None,
+    dense_threshold: int = 600_000_000,
+    compute_dtype: str = "float32",
+    eps: float = 1e-7,
+) -> BipartiteGraph:
+    """Build the symmetric-normalized bipartite graph from train edges.
+
+    Normalization parity: ``R[u, i] = (d_u + eps)^-1/2 (d_i + eps)^-1/2``
+    matching the reference's ``get_norm_adj_mat`` family
+    (Model/DiffMM.py:116-156; eps guards isolated nodes the same way the
+    reference's ``+1e-7`` row-sum guard does).
+    """
+    edges = np.asarray(edges)
+    if use_dense is None:
+        use_dense = num_user * num_item <= dense_threshold
+    du, di = node_degrees(edges, num_user, num_item)
+    w = 1.0 / np.sqrt((du[edges[:, 0]] + eps) * (di[edges[:, 1]] + eps))
+    w = w.astype(np.float32)
+
+    order_u = np.argsort(edges[:, 0], kind="stable")
+    order_i = np.argsort(edges[:, 1], kind="stable")
+    u_by_u = jnp.asarray(edges[order_u, 0], dtype=jnp.int32)
+    i_by_u = jnp.asarray(edges[order_u, 1], dtype=jnp.int32)
+    w_by_u = jnp.asarray(w[order_u])
+    u_by_i = jnp.asarray(edges[order_i, 0], dtype=jnp.int32)
+    i_by_i = jnp.asarray(edges[order_i, 1], dtype=jnp.int32)
+    w_by_i = jnp.asarray(w[order_i])
+
+    dense_r = None
+    if use_dense:
+        r = np.zeros((num_user, num_item), dtype=np.float32)
+        np.add.at(r, (edges[:, 0], edges[:, 1]), w)
+        dense_r = jnp.asarray(
+            r, dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        )
+
+    return BipartiteGraph(
+        num_user=num_user,
+        num_item=num_item,
+        use_dense=use_dense,
+        compute_dtype=compute_dtype,
+        u_by_u=u_by_u,
+        i_by_u=i_by_u,
+        w_by_u=w_by_u,
+        u_by_i=u_by_i,
+        i_by_i=i_by_i,
+        w_by_i=w_by_i,
+        dense_r=dense_r,
+    )

@@ -1,0 +1,119 @@
+"""Model protocol: pure-functional, jit-first.
+
+The reference's informal protocol (SURVEY.md §2.4): constructor takes
+``(num_user, num_item, edge_index, user_item_dict, ...)``; ``loss(users,
+pos, neg)`` subtracts the global item offset; ``gene_ranklist(topk=50)``
+does the full-catalog ranking.
+
+TPU-native redesign: a model is a *static config object* whose methods are
+pure functions of an explicit parameter pytree —
+
+- ``init_params(rng) -> params``       (plain dict of jnp arrays)
+- ``loss(params, batch, rng) -> (scalar, aux)``   jitted inside the epoch scan
+- ``embeddings(params) -> (user_emb, item_emb)``  consumed by the shared
+  fused ranking kernel (eval/ranking.py)
+- optional ``pre_epoch(params, rng, epoch) -> model-state update`` hook
+  (reference's ``pre_epoch_processing``, train_and_evaluate.py:555-557)
+- optional ``param_labels()`` for multi-optimizer models (MMSSL/AdaGCL/...)
+
+Item ids inside batches are already 0-based (the global offset is removed
+once at data load; see data/loading.py) — the per-model ``- num_user``
+boilerplate of the reference is gone by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def _is_dynamic(v: Any) -> bool:
+    """An attribute is a pytree leaf-bundle iff it contains array data."""
+    return any(
+        isinstance(leaf, (jax.Array, np.ndarray))
+        for leaf in jax.tree_util.tree_leaves(v)
+    )
+
+
+class Batch(NamedTuple):
+    """One training micro-batch; all shapes static.
+
+    ``weights`` in {0,1} marks real vs padded rows (fixed-shape batching of
+    the reference's smaller final batch)."""
+
+    users: jnp.ndarray  # (B,) int32
+    pos_items: jnp.ndarray  # (B,) int32, 0-based
+    neg_items: jnp.ndarray  # (B,) int32, 0-based
+    weights: jnp.ndarray  # (B,) float32
+
+
+class RecModel:
+    """Base class: holds static hyperparams + graph/feature buffers.
+
+    Every subclass is auto-registered as a **pytree**: attributes holding
+    array data (graphs, modality features, rebuilt-adjacency buffers) are
+    leaves; scalars/strings are static aux. Models therefore flow through
+    ``jax.jit`` as *arguments* — never as Python closures — so large
+    buffers are real device inputs instead of HLO constants (closure
+    capture would embed e.g. a 1.7 GB dense adjacency into the lowered
+    module and force device->host fetches at trace time).
+    """
+
+    name: str = "RecModel"
+
+    def __init__(self, num_user: int, num_item: int):
+        self.num_user = num_user
+        self.num_item = num_item
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+
+        def flatten(self):
+            dyn_names, dyn_vals, static = [], [], []
+            for k, v in sorted(vars(self).items()):
+                if _is_dynamic(v):
+                    dyn_names.append(k)
+                    dyn_vals.append(v)
+                else:
+                    static.append((k, v))
+            return tuple(dyn_vals), (tuple(dyn_names), tuple(static))
+
+        def unflatten(aux, children):
+            dyn_names, static = aux
+            obj = object.__new__(cls)
+            for k, v in static:
+                object.__setattr__(obj, k, v)
+            for k, v in zip(dyn_names, children):
+                object.__setattr__(obj, k, v)
+            return obj
+
+        jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+
+    # --- required API ---
+    def init_params(self, rng: jax.Array) -> Params:
+        raise NotImplementedError
+
+    def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def embeddings(self, params: Params) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(user_emb, item_emb) used for full-catalog scoring."""
+        raise NotImplementedError
+
+    # --- optional hooks ---
+    def pre_epoch(self, params: Params, rng: jax.Array, epoch: int) -> None:
+        """Epoch-boundary host-orchestrated update (graph rebuilds etc.)."""
+        return None
+
+    def param_labels(self, params: Params) -> Optional[Params]:
+        """Optax multi-transform labels for multi-optimizer models."""
+        return None
+
+    def extra_batch_fields(self) -> Tuple[str, ...]:
+        """Extra per-batch tensors this model needs (e.g. 'int_items')."""
+        return ()

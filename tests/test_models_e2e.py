@@ -1,0 +1,66 @@
+"""End-to-end: models learn the planted structure of the tiny dataset."""
+
+import numpy as np
+import pytest
+
+from chaorec_tpu.config import Config
+from chaorec_tpu.models import build_model
+from chaorec_tpu.train.loop import Trainer
+
+
+def _run(model_name, tiny_dataset, epochs=30, **overrides):
+    cfg = Config(
+        Model=model_name,
+        batch_size=64,
+        num_epoch=epochs,
+        dim_E=16,
+        learning_rate=0.05,
+        reg_weight=1e-4,
+        n_layers=2,
+        topk=(5, 10, 20),
+        patience=epochs,
+    ).replace(**overrides)
+    model = build_model(cfg, tiny_dataset)
+    trainer = Trainer(model, tiny_dataset, cfg)
+    return trainer.run()
+
+
+@pytest.mark.parametrize("model_name", ["BPR", "LightGCN"])
+def test_model_learns(tiny_dataset, model_name, caplog):
+    import logging
+    caplog.set_level(logging.INFO)
+    best = _run(model_name, tiny_dataset)
+    # Random ranking recall@20 ~= 20/48 = 0.42 on the 24-item preferred
+    # block; a learned model should push recall@20 well above that while a
+    # broken one hovers near random for the *top-5* cut (5/48 ~ 0.10).
+    assert best[20]["recall"] > 0.6, best
+    assert best[5]["recall"] > 0.2, best
+
+
+def test_ranklist_excludes_history(tiny_dataset):
+    """With all-positive scores, 1e-6 history masking (reference semantics,
+    Model/BPR.py:81-83) must push seen items out of the top-k. (With scores
+    that can go negative, 1e-6 masking deliberately does NOT guarantee
+    exclusion — that is reference behavior, not a bug.)"""
+    import jax.numpy as jnp
+
+    from chaorec_tpu.eval.ranking import gene_ranklist
+
+    rs = np.random.default_rng(7)
+    user_emb = jnp.asarray(
+        np.abs(rs.normal(size=(tiny_dataset.num_user, 8))).astype(np.float32) + 0.1
+    )
+    item_emb = jnp.asarray(
+        np.abs(rs.normal(size=(tiny_dataset.num_item, 8))).astype(np.float32) + 0.1
+    )
+    rank = gene_ranklist(
+        user_emb, item_emb, jnp.asarray(tiny_dataset.history.values),
+        tiny_dataset.num_user, topk=20,
+    )
+    rank = np.asarray(rank) - tiny_dataset.num_user
+    hist = tiny_dataset.history
+    for u in range(tiny_dataset.num_user):
+        seen = set(hist.values[u, : hist.lengths[u]].tolist())
+        topk = set(rank[u, :20].tolist())
+        # 1e-6 masking pushes history out of any realistic top-k.
+        assert not (seen & topk), u

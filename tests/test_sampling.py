@@ -1,0 +1,52 @@
+"""Negative sampling + fixed-shape batching tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chaorec_tpu.data.sampling import make_epoch_batches, sample_negatives
+
+
+def test_negatives_avoid_history(tiny_dataset):
+    ds = tiny_dataset
+    hist = jnp.asarray(ds.history.values)
+    users = jnp.asarray(np.repeat(np.arange(ds.num_user), 50).astype(np.int32))
+    neg = sample_negatives(jax.random.PRNGKey(0), users, hist, ds.num_item)
+    neg = np.asarray(neg)
+    hist_np = ds.history.values
+    lens = ds.history.lengths
+    for u, n in zip(np.asarray(users), neg):
+        assert 0 <= n < ds.num_item
+        assert n not in hist_np[u, : lens[u]], (u, n)
+
+
+def test_negatives_roughly_uniform(tiny_dataset):
+    ds = tiny_dataset
+    hist = jnp.asarray(ds.history.values)
+    u = 0
+    users = jnp.zeros((20000,), jnp.int32)
+    neg = np.asarray(
+        sample_negatives(jax.random.PRNGKey(1), users, hist, ds.num_item)
+    )
+    valid = [i for i in range(ds.num_item)
+             if i not in ds.history.values[u, : ds.history.lengths[u]]]
+    counts = np.bincount(neg, minlength=ds.num_item)[valid]
+    expected = len(neg) / len(valid)
+    assert counts.min() > 0.5 * expected
+    assert counts.max() < 1.5 * expected
+
+
+def test_epoch_batches_cover_all_edges(tiny_dataset):
+    ds = tiny_dataset
+    edges = jnp.asarray(ds.train_edges)
+    users, pos, w, _ = make_epoch_batches(jax.random.PRNGKey(2), edges, batch_size=32)
+    n_batches = -(-ds.num_edges // 32)
+    assert users.shape == (n_batches, 32)
+    assert float(w.sum()) == ds.num_edges  # mask marks exactly the real edges
+    # Every real (user, pos) pair appears exactly once among weighted slots.
+    flat = np.stack([np.asarray(users).ravel(), np.asarray(pos).ravel()], axis=1)
+    flat = flat[np.asarray(w).ravel() > 0]
+    got = {tuple(r) for r in flat.tolist()}
+    want = {tuple(r) for r in ds.train_edges.tolist()}
+    assert got == want
+    assert len(flat) == ds.num_edges
