@@ -11,7 +11,29 @@ from chaorec_tpu.data.loading import RecDataset
 from chaorec_tpu.graphs.norm_adj import build_norm_adj
 from chaorec_tpu.models import register_model
 from chaorec_tpu.models.bpr import BPRMF
+from chaorec_tpu.models.layergcn import LayerGCN
 from chaorec_tpu.models.lightgcn import LightGCN
+from chaorec_tpu.models.ngcf import NGCF
+from chaorec_tpu.models.sgl import SGL
+from chaorec_tpu.models.simgcl import SimGCL
+from chaorec_tpu.models.xsimgcl import XSimGCL
+from chaorec_tpu.ops.linear_prop import (
+    build_combined_op,
+    build_weighted_op,
+    fits_linear_op,
+)
+
+
+def _maybe_op(cfg: Config, ds: RecDataset, graph, layer_weights):
+    """Combined linear operator when the dense path + memory allow it."""
+    if cfg.get("use_linear_op", True) and graph.use_dense and fits_linear_op(
+        ds.num_user, ds.num_item
+    ):
+        return build_weighted_op(
+            graph.dense_r, tuple(layer_weights),
+            store_bf16=cfg.graph_compute_dtype == "bfloat16",
+        )
+    return None
 
 
 def _ui_graph(cfg: Config, ds: RecDataset):
@@ -33,7 +55,65 @@ def _bpr(cfg: Config, ds: RecDataset):
 @register_model("LightGCN")
 def _lightgcn(cfg: Config, ds: RecDataset):
     # main.py:269-270: LightGCN(..., dim_E, reg_weight, n_layers, aggr_mode, device)
+    graph = _ui_graph(cfg, ds)
+    n = cfg.n_layers
+    op = _maybe_op(cfg, ds, graph, [1.0 / (n + 1)] * (n + 1))
     return LightGCN(
+        ds.num_user, ds.num_item, graph,
+        cfg.dim_E, cfg.reg_weight, n, linear_op=op,
+    )
+
+
+@register_model("NGCF")
+def _ngcf(cfg: Config, ds: RecDataset):
+    # main.py:267-268: NGCF(..., dim_E, reg_weight, dropout, n_layers, aggr_mode, device)
+    return NGCF(
         ds.num_user, ds.num_item, _ui_graph(cfg, ds),
-        cfg.dim_E, cfg.reg_weight, cfg.n_layers,
+        cfg.dim_E, cfg.reg_weight, cfg.dropout, cfg.n_layers,
+    )
+
+
+@register_model("SimGCL")
+def _simgcl(cfg: Config, ds: RecDataset):
+    # main.py:335-336: SimGCL(..., dim_E, reg_weight, n_layers, ssl_temp, ssl_alpha, device)
+    graph = _ui_graph(cfg, ds)
+    n = cfg.n_layers
+    op = _maybe_op(cfg, ds, graph, [0.0] + [1.0 / n] * n)
+    return SimGCL(
+        ds.num_user, ds.num_item, graph, cfg.dim_E, cfg.reg_weight,
+        n, cfg.ssl_temp, cfg.ssl_alpha, linear_op=op,
+    )
+
+
+@register_model("XSimGCL")
+def _xsimgcl(cfg: Config, ds: RecDataset):
+    # main.py:337-338: XSimGCL(..., dim_E, reg_weight, n_layers, ssl_temp, ssl_alpha, device)
+    graph = _ui_graph(cfg, ds)
+    n = cfg.n_layers
+    op = _maybe_op(cfg, ds, graph, [0.0] + [1.0 / n] * n)
+    return XSimGCL(
+        ds.num_user, ds.num_item, graph, cfg.dim_E, cfg.reg_weight,
+        n, cfg.ssl_temp, cfg.ssl_alpha, linear_op=op,
+    )
+
+
+@register_model("SGL")
+def _sgl(cfg: Config, ds: RecDataset):
+    # main.py:302-303: SGL(..., dim_E, reg_weight, n_layers, aggr_mode, ssl_temp, ssl_alpha, device)
+    return SGL(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds),
+        cfg.dim_E, cfg.reg_weight, cfg.n_layers, cfg.ssl_temp, cfg.ssl_alpha,
+    )
+
+
+@register_model("LayerGCN")
+def _layergcn(cfg: Config, ds: RecDataset):
+    # main.py:323-324: LayerGCN(..., dim_E, reg_weight, n_layers, dropout, device)
+    graph = build_norm_adj(
+        ds.train_edges, ds.num_user, ds.num_item, use_dense=True,
+        compute_dtype=cfg.graph_compute_dtype,
+    )
+    return LayerGCN(
+        ds.num_user, ds.num_item, graph,
+        cfg.dim_E, cfg.reg_weight, cfg.n_layers, cfg.dropout,
     )

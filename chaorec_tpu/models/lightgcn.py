@@ -20,9 +20,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from typing import Optional
+
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
 from chaorec_tpu.ops.init import xavier_uniform
+from chaorec_tpu.ops.linear_prop import CombinedLinearOp
 from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg
 
 
@@ -37,12 +40,17 @@ class LightGCN(RecModel):
         dim_E: int,
         reg_weight: float,
         n_layers: int,
+        linear_op: Optional[CombinedLinearOp] = None,
     ):
         super().__init__(num_user, num_item)
         self.graph = graph
         self.dim_E = dim_E
         self.reg_weight = reg_weight
         self.n_layers = n_layers
+        # Precomputed mean-of-powers operator (ops/linear_prop.py): training
+        # batches then touch only B rows of the propagation instead of
+        # re-propagating the full graph (mathematically identical).
+        self.linear_op = linear_op
 
     def init_params(self, rng: jax.Array) -> Params:
         k_u, k_i = jax.random.split(rng)
@@ -63,10 +71,16 @@ class LightGCN(RecModel):
         return acc_u * scale, acc_i * scale
 
     def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:
-        user_emb, item_emb = self.propagate(params)
-        u = user_emb[batch.users]
-        pos = item_emb[batch.pos_items]
-        neg = item_emb[batch.neg_items]
+        if self.linear_op is not None:
+            e_u, e_i = params["user_embedding"], params["item_embedding"]
+            u = self.linear_op.user_rows(batch.users, e_u, e_i)
+            pos = self.linear_op.item_rows(batch.pos_items, e_u, e_i)
+            neg = self.linear_op.item_rows(batch.neg_items, e_u, e_i)
+        else:
+            user_emb, item_emb = self.propagate(params)
+            u = user_emb[batch.users]
+            pos = item_emb[batch.pos_items]
+            neg = item_emb[batch.neg_items]
         pos_scores = jnp.sum(u * pos, axis=1)
         neg_scores = jnp.sum(u * neg, axis=1)
         w = batch.weights
@@ -75,4 +89,8 @@ class LightGCN(RecModel):
         )
 
     def embeddings(self, params: Params):
+        if self.linear_op is not None:
+            return self.linear_op.full(
+                params["user_embedding"], params["item_embedding"]
+            )
         return self.propagate(params)

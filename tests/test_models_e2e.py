@@ -37,6 +37,19 @@ def test_model_learns(tiny_dataset, model_name, caplog):
     assert best[5]["recall"] > 0.2, best
 
 
+@pytest.mark.parametrize(
+    "model_name", ["NGCF", "SimGCL", "XSimGCL", "SGL", "LayerGCN"]
+)
+def test_graph_ssl_models_learn(tiny_dataset, model_name):
+    # SGL's ssl loss is a *sum* over full-catalog logsumexp terms
+    # (reference semantics, Model/SGL.py:207); on the tiny dataset it
+    # dominates unless alpha is small — its reference grid includes 1e-3.
+    alpha = 1e-5 if model_name == "SGL" else 0.01
+    best = _run(model_name, tiny_dataset, epochs=15, ssl_alpha=alpha,
+                ssl_temp=0.2, dropout=0.1)
+    assert best[20]["recall"] > 0.5, (model_name, best)
+
+
 def test_ranklist_excludes_history(tiny_dataset):
     """With all-positive scores, 1e-6 history masking (reference semantics,
     Model/BPR.py:81-83) must push seen items out of the top-k. (With scores
