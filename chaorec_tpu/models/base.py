@@ -105,6 +105,21 @@ class RecModel:
         """(user_emb, item_emb) used for full-catalog scoring."""
         raise NotImplementedError
 
+    # --- stateful-model API (models with non-gradient buffers updated
+    # every step, e.g. DGCF's routing scores). The trainer threads `state`
+    # through the epoch scan when `stateful` is True. ---
+    stateful: bool = False
+
+    def init_state(self, rng: jax.Array):
+        return None
+
+    def loss_stateful(self, params: Params, state, batch: Batch, rng: jax.Array):
+        """Returns (loss, new_state)."""
+        raise NotImplementedError
+
+    def embeddings_stateful(self, params: Params, state):
+        raise NotImplementedError
+
     # --- optional hooks ---
     def pre_epoch(self, params: Params, rng: jax.Array, epoch: int) -> None:
         """Epoch-boundary host-orchestrated update (graph rebuilds etc.)."""

@@ -11,7 +11,14 @@ from chaorec_tpu.data.loading import RecDataset
 from chaorec_tpu.graphs.norm_adj import build_norm_adj
 from chaorec_tpu.models import register_model
 from chaorec_tpu.models.bpr import BPRMF
+from chaorec_tpu.models.dccf import DCCF
+from chaorec_tpu.models.dgcf import DGCF
+from chaorec_tpu.models.dhcf import DHCF
+from chaorec_tpu.models.hccf import HCCF
 from chaorec_tpu.models.layergcn import LayerGCN
+from chaorec_tpu.models.lightgcl import LightGCL
+from chaorec_tpu.models.ncl import NCL
+from chaorec_tpu.models.selfcf import SelfCF
 from chaorec_tpu.models.lightgcn import LightGCN
 from chaorec_tpu.models.ngcf import NGCF
 from chaorec_tpu.models.sgl import SGL
@@ -103,6 +110,95 @@ def _sgl(cfg: Config, ds: RecDataset):
     return SGL(
         ds.num_user, ds.num_item, _ui_graph(cfg, ds),
         cfg.dim_E, cfg.reg_weight, cfg.n_layers, cfg.ssl_temp, cfg.ssl_alpha,
+    )
+
+
+@register_model("HCCF")
+def _hccf(cfg: Config, ds: RecDataset):
+    # main.py:311-313: HCCF(..., dim_E, reg_weight, n_layers, aggr_mode,
+    #   ssl_alpha, ssl_temp, keepRate, leaky, mult, device)
+    return HCCF(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), cfg.dim_E,
+        cfg.reg_weight, cfg.n_layers, cfg.ssl_alpha, cfg.ssl_temp,
+        cfg.keepRate, cfg.leaky, cfg.mult,
+    )
+
+
+@register_model("DCCF")
+def _dccf(cfg: Config, ds: RecDataset):
+    # main.py:325-326: DCCF(..., dim_E, reg_weight, n_layers, ssl_temp,
+    #   ssl_alpha, n_intents, cen_reg, device)
+    return DCCF(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), cfg.dim_E,
+        cfg.reg_weight, cfg.n_layers, cfg.ssl_temp, cfg.ssl_alpha,
+        cfg.n_intents, cfg.cen_reg,
+    )
+
+
+@register_model("DGCF")
+def _dgcf(cfg: Config, ds: RecDataset):
+    # main.py:274-275: DGCF(..., dim_E, reg_weight, corDecay, n_factors,
+    #   n_iterations, n_layers, aggr_mode, device)
+    return DGCF(
+        ds.num_user, ds.num_item, ds.train_edges, cfg.dim_E, cfg.reg_weight,
+        cfg.corDecay, cfg.n_factors, cfg.n_iterations, cfg.n_layers,
+    )
+
+
+@register_model("DHCF")
+def _dhcf(cfg: Config, ds: RecDataset):
+    # main.py:358-359: DHCF(..., dim_E, reg_weight, n_layers, dropout, device)
+    import jax
+    import jax.numpy as jnp
+
+    from chaorec_tpu.data.loading import dense_interactions
+
+    h = jnp.asarray(dense_interactions(ds))
+    return DHCF(
+        ds.num_user, ds.num_item, h, cfg.dim_E, cfg.reg_weight,
+        cfg.n_layers, cfg.dropout, jax.random.PRNGKey(cfg.seed + 7),
+    )
+
+
+@register_model("NCL")
+def _ncl(cfg: Config, ds: RecDataset):
+    # main.py:305-306: NCL(..., dim_E, reg_weight, n_layers, aggr_mode, ssl_temp, ssl_alpha, device)
+    return NCL(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds),
+        cfg.dim_E, cfg.reg_weight, cfg.n_layers, cfg.ssl_temp, cfg.ssl_alpha,
+    )
+
+
+@register_model("LightGCL")
+def _lightgcl(cfg: Config, ds: RecDataset):
+    # main.py:309-310: LightGCL(..., dim_E, reg_weight, n_layers, aggr_mode, ssl_alpha, ssl_temp, device)
+    import jax
+    import jax.numpy as jnp
+
+    from chaorec_tpu.ops.svd import randomized_svd
+
+    graph = build_norm_adj(
+        ds.train_edges, ds.num_user, ds.num_item, use_dense=True,
+        compute_dtype=cfg.graph_compute_dtype, eps=0.0,
+    )
+    u, s, v = randomized_svd(
+        jax.random.PRNGKey(cfg.seed), graph.dense_r.astype(jnp.float32),
+        LightGCL.q,
+    )
+    return LightGCL(
+        ds.num_user, ds.num_item, graph, cfg.dim_E, cfg.reg_weight,
+        cfg.n_layers, cfg.ssl_alpha, cfg.ssl_temp,
+        svd_u_s=u * s[None, :], svd_v_s=v * s[None, :],
+        svd_ut=u.T, svd_vt=v.T,
+    )
+
+
+@register_model("SelfCF")
+def _selfcf(cfg: Config, ds: RecDataset):
+    # main.py:344-345: SelfCF(..., dim_E, reg_weight, n_layers, dropout, device)
+    return SelfCF(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds),
+        cfg.dim_E, cfg.reg_weight, cfg.n_layers, cfg.dropout,
     )
 
 

@@ -29,8 +29,7 @@ from chaorec_tpu.ops.init import xavier_uniform
 from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg
 
 
-def _norm_rows(x):
-    return x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+from chaorec_tpu.ops.losses import l2norm as _norm_rows  # zero-row safe
 
 
 class SGL(RecModel):

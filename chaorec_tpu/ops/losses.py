@@ -18,6 +18,16 @@ import jax
 import jax.numpy as jnp
 
 
+def l2norm(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Row L2-normalize, differentiable at zero rows.
+
+    ``x / (norm(x) + eps)`` has an inf gradient at exactly-zero rows
+    (sqrt'(0)); zero rows are routine here (items absent from the train
+    split have zero propagated embeddings), so use rsqrt(sum^2 + eps).
+    """
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
+
+
 def masked_mean(x: jnp.ndarray, weights: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Mean over valid entries; ``weights`` in {0,1}, None = all valid."""
     if weights is None:
@@ -63,8 +73,8 @@ def info_nce(
     Model/DiffMM.py:338-349): positive = same row across views, negatives =
     all other rows of view2.
     """
-    v1 = view1 / (jnp.linalg.norm(view1, axis=1, keepdims=True) + 1e-12)
-    v2 = view2 / (jnp.linalg.norm(view2, axis=1, keepdims=True) + 1e-12)
+    v1 = l2norm(view1)
+    v2 = l2norm(view2)
     pos = jnp.sum(v1 * v2, axis=1) / temperature
     logits = jnp.dot(v1, v2.T, preferred_element_type=jnp.float32) / temperature
     log_denom = jax.nn.logsumexp(logits, axis=1)

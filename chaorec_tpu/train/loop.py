@@ -91,9 +91,15 @@ class Trainer:
         self.edges = jnp.asarray(dataset.train_edges)
         self.history = jnp.asarray(dataset.history.values)
         self._epoch_fn = None
+        self.model_state = model.init_state(jax.random.PRNGKey(cfg.seed + 1))
         # Model is a pytree argument, not a closure: keeps graph buffers out
         # of the lowered HLO (see RecModel.__init_subclass__).
-        self._embeddings_fn = jax.jit(lambda m, p: m.embeddings(p))
+        if model.stateful:
+            self._embeddings_fn = jax.jit(
+                lambda m, p, s: m.embeddings_stateful(p, s)
+            )
+        else:
+            self._embeddings_fn = jax.jit(lambda m, p, s: m.embeddings(p))
 
     def make_optimizer(self) -> optax.GradientTransformation:
         """Adam with torch defaults (main.py:397)."""
@@ -106,43 +112,58 @@ class Trainer:
         num_item = self.dataset.num_item
         optimizer = self.optimizer
 
-        def epoch(model, params, opt_state, rng, edges, history):
+        stateful = self.model.stateful
+
+        def epoch(model, params, opt_state, mstate, rng, edges, history):
             rng, shuffle_rng = jax.random.split(rng)
             users, pos, weights, _ = make_epoch_batches(
                 shuffle_rng, edges, cfg.batch_size
             )
 
             def step(carry, xs):
-                params, opt_state, rng = carry
+                params, opt_state, mstate, rng = carry
                 u, p, w = xs
                 rng, neg_rng, loss_rng = jax.random.split(rng, 3)
                 neg = sample_negatives(
                     neg_rng, u, history, num_item, cfg.neg_candidates
                 )
                 batch = Batch(u, p, neg, w)
-                loss, grads = jax.value_and_grad(model.loss)(params, batch, loss_rng)
+                if stateful:
+                    (loss, mstate), grads = jax.value_and_grad(
+                        model.loss_stateful, has_aux=True
+                    )(params, mstate, batch, loss_rng)
+                else:
+                    loss, grads = jax.value_and_grad(model.loss)(
+                        params, batch, loss_rng
+                    )
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state, rng), loss
+                return (params, opt_state, mstate, rng), loss
 
-            (params, opt_state, rng), losses = jax.lax.scan(
-                step, (params, opt_state, rng), (users, pos, weights)
+            (params, opt_state, mstate, rng), losses = jax.lax.scan(
+                step, (params, opt_state, mstate, rng), (users, pos, weights)
             )
-            return params, opt_state, rng, jnp.sum(losses)
+            return params, opt_state, mstate, rng, jnp.sum(losses)
 
         jitted = jax.jit(epoch, donate_argnums=(1, 2))
         return lambda params, opt_state, rng: jitted(
-            self.model, params, opt_state, rng, self.edges, self.history
+            self.model, params, opt_state, self.model_state, rng,
+            self.edges, self.history,
         )
 
     def train_epoch(self, params, opt_state, rng, epoch: int):
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn()
-        return self._epoch_fn(params, opt_state, rng)
+        params, opt_state, self.model_state, rng, loss = self._epoch_fn(
+            params, opt_state, rng
+        )
+        return params, opt_state, rng, loss
 
     # ------------------------------------------------------------------
     def evaluate(self, params) -> Tuple[Dict, Dict, jnp.ndarray]:
-        user_emb, item_emb = self._embeddings_fn(self.model, params)
+        user_emb, item_emb = self._embeddings_fn(
+            self.model, params, self.model_state
+        )
         rank_list = gene_ranklist(
             user_emb,
             item_emb,

@@ -50,6 +50,33 @@ def test_graph_ssl_models_learn(tiny_dataset, model_name):
     assert best[20]["recall"] > 0.5, (model_name, best)
 
 
+@pytest.mark.parametrize("model_name", ["HCCF", "DCCF", "DGCF", "DHCF"])
+def test_structured_models_learn(tiny_dataset, model_name):
+    overrides = {
+        "HCCF": dict(ssl_alpha=0.01, ssl_temp=0.5, keepRate=1.0, mult=0.01,
+                     reg_weight=1e-5),
+        "DCCF": dict(ssl_alpha=0.001, ssl_temp=1.0, n_intents=8,
+                     cen_reg=1e-3, n_layers=1),
+        "DGCF": dict(corDecay=0.001, n_factors=2, n_iterations=1, n_layers=2),
+        "DHCF": dict(dropout=0.1, n_layers=1, learning_rate=0.02),
+    }[model_name]
+    best = _run(model_name, tiny_dataset, epochs=20, **overrides)
+    assert best[20]["recall"] > 0.5, (model_name, best)
+
+
+@pytest.mark.parametrize("model_name", ["NCL", "LightGCL", "SelfCF"])
+def test_contrastive_models_learn(tiny_dataset, model_name):
+    # NCL/LightGCL full-catalog nce terms are summed -> small alphas, as in
+    # their reference grids (ssl_alpha 1e-5 / 1e-2).
+    overrides = {
+        "NCL": dict(ssl_alpha=1e-5, ssl_temp=0.1, reg_weight=1e-5),
+        "LightGCL": dict(ssl_alpha=0.01, ssl_temp=0.1, reg_weight=1e-7),
+        "SelfCF": dict(dropout=0.5, reg_weight=1e-4),
+    }[model_name]
+    best = _run(model_name, tiny_dataset, epochs=20, **overrides)
+    assert best[20]["recall"] > 0.5, (model_name, best)
+
+
 def test_ranklist_excludes_history(tiny_dataset):
     """With all-positive scores, 1e-6 history masking (reference semantics,
     Model/BPR.py:81-83) must push seen items out of the top-k. (With scores
