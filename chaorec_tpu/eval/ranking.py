@@ -50,6 +50,24 @@ def _rank_chunk(
     return idx.astype(jnp.int32) + num_user
 
 
+@partial(jax.jit, static_argnames=("topk", "num_user"))
+def mask_and_topk(
+    scores: jnp.ndarray,  # (C, I) raw scores
+    hist_chunk: jnp.ndarray,  # (C, H)
+    topk: int,
+    num_user: int,
+) -> jnp.ndarray:
+    """History-mask (assign 1e-6) + top-k on precomputed score rows; used
+    by score-ranking models (VAE/diffusion, reference eval paths like
+    MultVAE predict / DiffRec p_sample ranking)."""
+    rows = jnp.broadcast_to(
+        jnp.arange(hist_chunk.shape[0], dtype=jnp.int32)[:, None], hist_chunk.shape
+    )
+    scores = scores.at[rows, hist_chunk].set(1e-6, mode="drop")
+    _, idx = jax.lax.top_k(scores, topk)
+    return idx.astype(jnp.int32) + num_user
+
+
 def gene_ranklist(
     user_emb: jnp.ndarray,
     item_emb: jnp.ndarray,

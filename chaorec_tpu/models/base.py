@@ -105,6 +105,15 @@ class RecModel:
         """(user_emb, item_emb) used for full-catalog scoring."""
         raise NotImplementedError
 
+    # --- score-ranking API: models whose ranking is not an embedding dot
+    # product (VAE / diffusion decoders produce logits directly). Set
+    # rank_mode = "scores" and implement score_users. ---
+    rank_mode: str = "embeddings"
+
+    def score_users(self, params: Params, user_ids: jnp.ndarray) -> jnp.ndarray:
+        """(len(user_ids), num_item) ranking scores (pre-masking)."""
+        raise NotImplementedError
+
     # --- stateful-model API (models with non-gradient buffers updated
     # every step, e.g. DGCF's routing scores). The trainer threads `state`
     # through the epoch scan when `stateful` is True. ---

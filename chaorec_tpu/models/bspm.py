@@ -1,0 +1,95 @@
+"""BSPM: blurring-sharpening process model (training-free).
+
+Reference: Model/BSPM.py + the single-pass loop at
+train_and_evaluate.py:285-303,532-552. Capabilities reproduced:
+- ideal low-pass filter from a 256-factor SVD of the (U+I)^2 normalized
+  adjacency L (sparsesvd, Model/BSPM.py:60-67) — reproduced exactly in
+  item space: the eigenvectors of L = [[0,R],[R^T,0]] come in (a; +-b)
+  pairs, so the item-block of ``D^-1/2 V V^T D^1/2`` over L's top-256
+  factors equals ``D_i^-1/2 B B^T D_i^1/2`` with B = top-128 right
+  singular vectors of the normalized R (ops/svd.py randomized SVD);
+- blur = one application of the linear filter L^T L, whose item block is
+  C = R^T R (Model/BSPM.py:144);
+- sharpen = K_s Euler steps of dr/dt = -r C over [0, T_s] starting at
+  idl_beta * idl + blur (final_sharpening=True, sharpening_off=False,
+  t_point_combination=False defaults; Model/BSPM.py:40-43,146-176);
+- training-free: one scoring pass then evaluate once (TrainFreeTrainer).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from chaorec_tpu.models.base import Params, RecModel
+from chaorec_tpu.ops.ode import odeint_euler
+
+
+class BSPM(RecModel):
+    name = "BSPM"
+    rank_mode = "scores"
+    factor_dim = 128  # = reference's 256 factors of L (pairing argument)
+
+    def __init__(self, num_user, num_item, dense_r: jnp.ndarray,
+                 item_deg: jnp.ndarray, k_s, t_s, k_b, t_b, idl_beta, rng):
+        super().__init__(num_user, num_item)
+        from chaorec_tpu.ops.svd import randomized_svd
+
+        self.k_s = int(k_s)
+        self.t_s = float(t_s)
+        self.k_b = int(k_b)
+        self.t_b = float(t_b)
+        self.idl_beta = idl_beta
+        self.r = dense_r.astype(jnp.float32)  # normalized R (U, I)
+        self.c = jnp.dot(self.r.T, self.r,
+                         preferred_element_type=jnp.float32)  # (I, I)
+        q = min(self.factor_dim, min(num_user, num_item) - 1)
+        _, _, v = randomized_svd(rng, self.r, q)
+        self.b = v  # (I, q) right singular vectors
+        d = (item_deg + 1e-7) ** -0.5
+        self.d_inv_sqrt = d  # diag of D_i^-1/2
+        self.d_sqrt = 1.0 / d
+
+    def init_params(self, rng: jax.Array) -> Params:
+        return {}
+
+    def score_users(self, params: Params, user_ids: jnp.ndarray) -> jnp.ndarray:
+        rows = self.r[user_ids]  # (C, I)
+        idl = ((rows * self.d_inv_sqrt[None, :]) @ self.b) @ self.b.T
+        idl = idl * self.d_sqrt[None, :]
+        blur = jnp.dot(rows, self.c, preferred_element_type=jnp.float32)
+        y0 = self.idl_beta * idl + blur
+        sharpened = odeint_euler(
+            lambda t, y: -jnp.dot(y, self.c, preferred_element_type=jnp.float32),
+            y0, 0.0, self.t_s, self.k_s,
+        )
+        return sharpened
+
+    def embeddings(self, params: Params):
+        raise NotImplementedError("BSPM ranks via score_users")
+
+
+class TrainFreeTrainer:
+    """Single-pass 'training': score, evaluate once, return the metrics
+    (train_and_evaluate.py:532-552)."""
+
+    def __init__(self, model, dataset, cfg, optimizer=None):
+        from chaorec_tpu.train.loop import Trainer
+
+        self._inner = Trainer(model, dataset, cfg)
+
+    def run(self):
+        import logging
+
+        params = {}
+        val_metrics, test_metrics, _ = self._inner.evaluate(params)
+        logging.info("Validation Metrics:")
+        for k, m in val_metrics.items():
+            logging.info(f"{k}: {' | '.join(f'{n}: {v:.5f}' for n, v in m.items())}")
+        logging.info("Test Metrics:")
+        for k, m in test_metrics.items():
+            logging.info(f"{k}: {' | '.join(f'{n}: {v:.5f}' for n, v in m.items())}")
+        return test_metrics
+
+
+BSPM.trainer_cls = TrainFreeTrainer

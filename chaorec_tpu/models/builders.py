@@ -11,12 +11,17 @@ from chaorec_tpu.data.loading import RecDataset
 from chaorec_tpu.graphs.norm_adj import build_norm_adj
 from chaorec_tpu.models import register_model
 from chaorec_tpu.models.bpr import BPRMF
+from chaorec_tpu.models.bspm import BSPM
 from chaorec_tpu.models.dccf import DCCF
+from chaorec_tpu.models.fkan_gcf import FKAN_GCF
+from chaorec_tpu.models.lightgode import LightGODE
 from chaorec_tpu.models.dgcf import DGCF
 from chaorec_tpu.models.dhcf import DHCF
 from chaorec_tpu.models.hccf import HCCF
 from chaorec_tpu.models.layergcn import LayerGCN
 from chaorec_tpu.models.lightgcl import LightGCL
+from chaorec_tpu.models.macridvae import MacridVAE
+from chaorec_tpu.models.multvae import MultVAE
 from chaorec_tpu.models.ncl import NCL
 from chaorec_tpu.models.selfcf import SelfCF
 from chaorec_tpu.models.lightgcn import LightGCN
@@ -157,6 +162,72 @@ def _dhcf(cfg: Config, ds: RecDataset):
     return DHCF(
         ds.num_user, ds.num_item, h, cfg.dim_E, cfg.reg_weight,
         cfg.n_layers, cfg.dropout, jax.random.PRNGKey(cfg.seed + 7),
+    )
+
+
+@register_model("FKAN_GCF")
+def _fkan_gcf(cfg: Config, ds: RecDataset):
+    # main.py:351-353: FKAN_GCF(..., dim_E, reg_weight, n_layers,
+    #   node_dropout, message_dropout, grid_size, device)
+    return FKAN_GCF(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), cfg.dim_E,
+        cfg.reg_weight, cfg.n_layers, cfg.node_dropout, cfg.message_dropout,
+        cfg.grid_size,
+    )
+
+
+@register_model("LightGODE")
+def _lightgode(cfg: Config, ds: RecDataset):
+    # main.py:356-357: LightGODE(..., dim_E, gamma, t, device)
+    return LightGODE(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), cfg.dim_E,
+        cfg.gamma, cfg.t,
+    )
+
+
+@register_model("BSPM")
+def _bspm(cfg: Config, ds: RecDataset):
+    # main.py:368-369: BSPM(..., K_s, T_s, K_b, K_s(!), idl_beta, device)
+    # Reference quirk: main.py passes args.K_s into the T_b slot.
+    import jax
+
+    from chaorec_tpu.graphs.norm_adj import build_norm_adj, node_degrees
+    import jax.numpy as jnp
+
+    graph = build_norm_adj(
+        ds.train_edges, ds.num_user, ds.num_item, use_dense=True, eps=1e-7,
+    )
+    _, di = node_degrees(ds.train_edges, ds.num_user, ds.num_item)
+    return BSPM(
+        ds.num_user, ds.num_item, graph.dense_r, jnp.asarray(di),
+        cfg.K_s, cfg.T_s, cfg.K_b, cfg.K_s, cfg.idl_beta,
+        jax.random.PRNGKey(cfg.seed + 11),
+    )
+
+
+@register_model("MultVAE")
+def _multvae(cfg: Config, ds: RecDataset):
+    # main.py:304: MultVAE(num_user, num_item, train_data, dict, dim_E, reg_weight, device)
+    import jax.numpy as jnp
+
+    from chaorec_tpu.data.loading import dense_interactions
+
+    return MultVAE(
+        ds.num_user, ds.num_item, jnp.asarray(dense_interactions(ds)),
+        cfg.dim_E, cfg.reg_weight,
+    )
+
+
+@register_model("MacridVAE")
+def _macridvae(cfg: Config, ds: RecDataset):
+    # main.py:307-308: MacridVAE(num_user, num_item, train_data, dict, dim_E, reg_weight, device)
+    import jax.numpy as jnp
+
+    from chaorec_tpu.data.loading import dense_interactions
+
+    return MacridVAE(
+        ds.num_user, ds.num_item, jnp.asarray(dense_interactions(ds)),
+        cfg.dim_E, cfg.reg_weight,
     )
 
 

@@ -44,3 +44,24 @@ def xavier_uniform(rng: jax.Array, shape: Tuple[int, ...], gain: float = 1.0,
 def normal_init(rng: jax.Array, shape: Tuple[int, ...], std: float = 0.1,
                 dtype=jnp.float32) -> jnp.ndarray:
     return std * jax.random.normal(rng, shape, dtype)
+
+
+def torch_linear_init(rng: jax.Array, out_features: int, in_features: int,
+                      dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """torch ``nn.Linear`` default init: weight kaiming-uniform(a=sqrt(5))
+    = U(-1/sqrt(fan_in), 1/sqrt(fan_in)); bias same bound.
+
+    Returns (weight (out, in), bias (out,)). Apply as ``x @ w.T + b``.
+    """
+    k_w, k_b = jax.random.split(rng)
+    bound = 1.0 / math.sqrt(in_features)
+    w = jax.random.uniform(k_w, (out_features, in_features), dtype, -bound, bound)
+    b = jax.random.uniform(k_b, (out_features,), dtype, -bound, bound)
+    return w, b
+
+
+def uniform01_init(rng: jax.Array, shape: Tuple[int, ...],
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """torch ``nn.init.uniform_`` default U[0, 1) (MultVAE layers,
+    Model/MultVAE.py:52-69)."""
+    return jax.random.uniform(rng, shape, dtype)

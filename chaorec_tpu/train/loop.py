@@ -161,20 +161,42 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, params) -> Tuple[Dict, Dict, jnp.ndarray]:
-        user_emb, item_emb = self._embeddings_fn(
-            self.model, params, self.model_state
-        )
-        rank_list = gene_ranklist(
-            user_emb,
-            item_emb,
-            self.history,
-            self.dataset.num_user,
-            topk=self.cfg.rank_topk,
-            user_chunk=self.cfg.eval_user_chunk,
-        )
+        if self.model.rank_mode == "scores":
+            rank_list = self._rank_from_scores(params)
+        else:
+            user_emb, item_emb = self._embeddings_fn(
+                self.model, params, self.model_state
+            )
+            rank_list = gene_ranklist(
+                user_emb,
+                item_emb,
+                self.history,
+                self.dataset.num_user,
+                topk=self.cfg.rank_topk,
+                user_chunk=self.cfg.eval_user_chunk,
+            )
         val_metrics = gene_metrics(self.dataset, rank_list, list(self.cfg.topk), "val")
         test_metrics = gene_metrics(self.dataset, rank_list, list(self.cfg.topk), "test")
         return val_metrics, test_metrics, rank_list
+
+    def _rank_from_scores(self, params) -> jnp.ndarray:
+        """Chunked full-catalog ranking for score-mode models."""
+        from chaorec_tpu.eval.ranking import mask_and_topk
+
+        if not hasattr(self, "_score_fn"):
+            self._score_fn = jax.jit(lambda m, p, ids: m.score_users(p, ids))
+        n = self.dataset.num_user
+        chunk = self.cfg.eval_user_chunk
+        topk = min(self.cfg.rank_topk, self.dataset.num_item)
+        outs = []
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            ids = jnp.arange(start, end, dtype=jnp.int32)
+            scores = self._score_fn(self.model, params, ids)
+            outs.append(
+                mask_and_topk(scores, self.history[start:end], topk, n)
+            )
+        return jnp.concatenate(outs, axis=0)
 
     # ------------------------------------------------------------------
     def run(self) -> Dict:

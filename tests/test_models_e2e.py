@@ -64,6 +64,38 @@ def test_structured_models_learn(tiny_dataset, model_name):
     assert best[20]["recall"] > 0.5, (model_name, best)
 
 
+@pytest.mark.parametrize("model_name", ["FKAN_GCF", "LightGODE"])
+def test_special_models_learn(tiny_dataset, model_name):
+    overrides = {
+        "FKAN_GCF": dict(n_layers=3, grid_size=2, node_dropout=0.0,
+                         message_dropout=0.0, reg_weight=1e-4),
+        "LightGODE": dict(gamma=0.2, t=1.8, learning_rate=0.05),
+    }[model_name]
+    best = _run(model_name, tiny_dataset, epochs=25, **overrides)
+    assert best[20]["recall"] > 0.5, (model_name, best)
+
+
+def test_bspm_train_free(tiny_dataset):
+    """Single-pass flow produces a full metric dict (numeric parity with
+    the reference pipeline is covered by test_bspm_oracle.py; on this
+    planted-block dataset the sharpening step legitimately suppresses the
+    dominant eigencomponents, so recall here is not meaningful)."""
+    from chaorec_tpu.train.loop import train_and_evaluate
+
+    cfg = Config(Model="BSPM", K_s=2, T_s=1.5, idl_beta=1.0, topk=(5, 10, 20))
+    model = build_model(cfg, tiny_dataset)
+    best = train_and_evaluate(model, tiny_dataset, cfg)
+    assert set(best) == {5, 10, 20}
+    assert all(0.0 <= best[k]["recall"] <= 1.0 for k in best)
+
+
+@pytest.mark.parametrize("model_name", ["MultVAE", "MacridVAE"])
+def test_vae_models_learn(tiny_dataset, model_name):
+    best = _run(model_name, tiny_dataset, epochs=30, learning_rate=0.01,
+                reg_weight=0.0)
+    assert best[20]["recall"] > 0.5, (model_name, best)
+
+
 @pytest.mark.parametrize("model_name", ["NCL", "LightGCL", "SelfCF"])
 def test_contrastive_models_learn(tiny_dataset, model_name):
     # NCL/LightGCL full-catalog nce terms are summed -> small alphas, as in
