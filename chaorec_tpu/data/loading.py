@@ -24,6 +24,7 @@ membership tests and masking are vectorized XLA ops instead of Python loops.
 from __future__ import annotations
 
 import json
+import logging
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, Optional, Tuple
@@ -115,6 +116,7 @@ def data_load(
     data_root: str = "Data",
     has_v: bool = False,
     has_t: bool = False,
+    synthetic_features: bool = True,
 ) -> RecDataset:
     """Load one dataset directory into static-shape arrays.
 
@@ -159,11 +161,30 @@ def data_load(
     val_users, val_pos = _load_eval_split(dir_ / "val.npy", num_user)
     test_users, test_pos = _load_eval_split(dir_ / "test.npy", num_user)
 
-    def _feat(fname: str, enabled: bool) -> Optional[np.ndarray]:
+    def _feat(fname: str, enabled: bool, dim: int, seed: int) -> Optional[np.ndarray]:
         p = dir_ / fname
-        if not enabled or not p.exists():
+        if not enabled:
             return None
-        return np.load(p, allow_pickle=True).astype(np.float32)
+        if p.exists():
+            return np.load(p, allow_pickle=True).astype(np.float32)
+        if not synthetic_features:
+            return None
+        # This snapshot ships no modality features (SURVEY.md §6 note).
+        # Deterministic structured stand-ins: random projection of each
+        # item's interaction column, so modality similarity correlates
+        # with co-interaction and kNN modal graphs carry real signal.
+        # NOT a parity target — replace with real CNN/LM features to
+        # reproduce paper numbers.
+        logging.warning(
+            "%s/%s missing - generating deterministic synthetic features "
+            "(%d-dim interaction-projection stand-ins)", dataset, fname, dim
+        )
+        rs = np.random.default_rng(seed)
+        proj = rs.standard_normal((num_user, dim)).astype(np.float32)
+        feats = np.zeros((num_item, dim), dtype=np.float32)
+        np.add.at(feats, edges[:, 1], proj[edges[:, 0]])
+        feats += 0.1 * rs.standard_normal((num_item, dim)).astype(np.float32)
+        return feats
 
     return RecDataset(
         name=dataset,
@@ -175,8 +196,8 @@ def data_load(
         val_pos=val_pos,
         test_users=test_users,
         test_pos=test_pos,
-        v_feat=_feat("v_feat.npy", has_v),
-        t_feat=_feat("t_feat.npy", has_t),
+        v_feat=_feat("v_feat.npy", has_v, 4096, 1234),
+        t_feat=_feat("t_feat.npy", has_t, 384, 5678),
     )
 
 

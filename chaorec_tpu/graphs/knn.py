@@ -55,19 +55,21 @@ class ELLGraph:
         return jnp.einsum("nk,nkd->nd", self.weights, gathered)
 
 
-@partial(jax.jit, static_argnames=("topk", "sym_norm"))
-def _knn_from_sim(sim: jnp.ndarray, topk: int, sym_norm: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+@partial(jax.jit, static_argnames=("topk", "norm"))
+def _knn_from_sim(sim: jnp.ndarray, topk: int, norm: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     vals, idx = jax.lax.top_k(sim, topk)
-    if sym_norm:
-        # Reference compute_normalized_laplacian (Model/FREEDOM.py:122-129):
-        # binary kNN adjacency, D^-1/2 A D^-1/2. Row degree is k; column
-        # degree counts how often an item is someone's neighbor.
-        n = sim.shape[0]
+    n = sim.shape[0]
+    if norm == "ref_laplacian":
+        # Reference compute_normalized_laplacian (Model/FREEDOM.py:122-129)
+        # uses the ROW sum for both ends — every row sums to k, so each
+        # edge weight is exactly 1/k (kept bit-faithful).
+        w = jnp.full(idx.shape, 1.0 / topk, jnp.float32)
+    elif norm == "sym":
+        # True symmetric laplacian: column degree counts in-edges.
         col_deg = jnp.zeros((n,), jnp.float32).at[idx.reshape(-1)].add(1.0)
         row_deg = jnp.full((n,), float(topk), jnp.float32)
         w = (row_deg[:, None] ** -0.5) * (jnp.maximum(col_deg, 1.0)[idx] ** -0.5)
-    else:
-        # LATTICE-style: keep softmax-able similarity values, row-normalized.
+    else:  # "row_softmax_values": LATTICE-style row-normalized similarities
         w = vals / (jnp.sum(vals, axis=1, keepdims=True) + 1e-12)
     return idx.astype(jnp.int32), w.astype(jnp.float32)
 
@@ -75,30 +77,39 @@ def _knn_from_sim(sim: jnp.ndarray, topk: int, sym_norm: bool) -> Tuple[jnp.ndar
 def build_knn_graph(
     features: jnp.ndarray,
     topk: int = 10,
-    sym_norm: bool = True,
+    norm: str = "sym",
     row_chunk: int = 4096,
 ) -> ELLGraph:
     """Build a kNN graph from item/user features.
 
+    norm: "ref_laplacian" (FREEDOM-family 1/k quirk), "sym" (true
+    symmetric laplacian), "row_softmax_values" (LATTICE row-normalized
+    similarity weights).
+
     For large N the full N x N similarity is computed in row chunks so peak
     memory is O(row_chunk * N); each chunk is one MXU matmul + top_k.
     """
-    norm = features / (jnp.linalg.norm(features, axis=1, keepdims=True) + 1e-12)
-    n = norm.shape[0]
+    feats = features / (jnp.linalg.norm(features, axis=1, keepdims=True) + 1e-12)
+    n = feats.shape[0]
     if n <= row_chunk:
-        return ELLGraph(*_knn_from_sim(jnp.dot(norm, norm.T), topk, sym_norm))
+        return ELLGraph(*_knn_from_sim(
+            jnp.dot(feats, feats.T, preferred_element_type=jnp.float32),
+            topk, norm,
+        ))
 
     idx_chunks = []
     val_chunks = []
     for start in range(0, n, row_chunk):
-        block = norm[start : start + row_chunk]
-        sim = jnp.dot(block, norm.T, preferred_element_type=jnp.float32)
+        block = feats[start : start + row_chunk]
+        sim = jnp.dot(block, feats.T, preferred_element_type=jnp.float32)
         v, i = jax.lax.top_k(sim, topk)
         idx_chunks.append(i.astype(jnp.int32))
         val_chunks.append(v)
     idx = jnp.concatenate(idx_chunks, axis=0)
     vals = jnp.concatenate(val_chunks, axis=0)
-    if sym_norm:
+    if norm == "ref_laplacian":
+        w = jnp.full(idx.shape, 1.0 / topk, jnp.float32)
+    elif norm == "sym":
         col_deg = jnp.zeros((n,), jnp.float32).at[idx.reshape(-1)].add(1.0)
         w = (float(topk) ** -0.5) * (jnp.maximum(col_deg, 1.0)[idx] ** -0.5)
     else:

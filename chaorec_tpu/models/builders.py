@@ -13,7 +13,12 @@ from chaorec_tpu.models import register_model
 from chaorec_tpu.models.bpr import BPRMF
 from chaorec_tpu.models.bspm import BSPM
 from chaorec_tpu.models.dccf import DCCF
+from chaorec_tpu.models.bm3 import BM3
 from chaorec_tpu.models.fkan_gcf import FKAN_GCF
+from chaorec_tpu.models.freedom import FREEDOM
+from chaorec_tpu.models.mgcl import MGCL
+from chaorec_tpu.models.slmrec import SLMRec
+from chaorec_tpu.models.vbpr import VBPR
 from chaorec_tpu.models.lightgode import LightGODE
 from chaorec_tpu.models.dgcf import DGCF
 from chaorec_tpu.models.dhcf import DHCF
@@ -162,6 +167,73 @@ def _dhcf(cfg: Config, ds: RecDataset):
     return DHCF(
         ds.num_user, ds.num_item, h, cfg.dim_E, cfg.reg_weight,
         cfg.n_layers, cfg.dropout, jax.random.PRNGKey(cfg.seed + 7),
+    )
+
+
+def _feats(ds: RecDataset):
+    import jax.numpy as jnp
+
+    if ds.v_feat is None or ds.t_feat is None:
+        raise ValueError(
+            f"dataset {ds.name} has no modality features; load with "
+            "has_v/has_t or enable synthetic_features"
+        )
+    return jnp.asarray(ds.v_feat), jnp.asarray(ds.t_feat)
+
+
+@register_model("VBPR")
+def _vbpr(cfg: Config, ds: RecDataset):
+    # main.py:265-266: VBPR(num_user, num_item, dict, v_feat, dim_E,
+    #   feature_embedding, reg_weight, device)
+    v, _ = _feats(ds)
+    return VBPR(ds.num_user, ds.num_item, v, cfg.dim_E,
+                cfg.feature_embed, cfg.reg_weight)
+
+
+@register_model("FREEDOM")
+def _freedom(cfg: Config, ds: RecDataset):
+    # main.py:287-289: FREEDOM(..., dim_E, feature_embedding, reg_weight,
+    #   dropout, n_layers, mm_layers, ii_topk, *lambda_coeff*, device) —
+    # the reference passes lambda_coeff into the mm_image_weight slot.
+    v, t = _feats(ds)
+    return FREEDOM(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.feature_embed, cfg.reg_weight, cfg.dropout,
+        cfg.n_layers, cfg.mm_layers, cfg.ii_topk,
+        mm_image_weight=cfg.lambda_coeff,
+    )
+
+
+@register_model("BM3")
+def _bm3(cfg: Config, ds: RecDataset):
+    # main.py:282-283: BM3(..., dim_E, feature_embedding, reg_weight,
+    #   dropout, n_layers, cl_weight, aggr_mode, device)
+    v, t = _feats(ds)
+    return BM3(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.feature_embed, cfg.reg_weight, cfg.dropout,
+        cfg.n_layers, cfg.cl_weight,
+    )
+
+
+@register_model("SLMRec")
+def _slmrec(cfg: Config, ds: RecDataset):
+    # main.py:290-291: SLMRec(..., dim_E, n_layers, ssl_temp, ssl_alpha, device)
+    v, t = _feats(ds)
+    return SLMRec(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.n_layers, cfg.ssl_temp, cfg.ssl_alpha,
+    )
+
+
+@register_model("MGCL")
+def _mgcl(cfg: Config, ds: RecDataset):
+    # main.py:314-315: MGCL(..., dim_E, reg_weight, n_layers, aggr_mode,
+    #   ssl_temp, ssl_alpha, device)
+    v, t = _feats(ds)
+    return MGCL(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.reg_weight, cfg.n_layers, cfg.ssl_temp, cfg.ssl_alpha,
     )
 
 

@@ -1,0 +1,137 @@
+"""FREEDOM: frozen multimodal item graph + degree-weighted edge pruning.
+
+Reference: Model/FREEDOM.py. Capabilities reproduced:
+- frozen item-item graph built once at init from raw modality features:
+  per-modality kNN (k = ii_topk) with the reference's row-sum laplacian
+  (uniform 1/k weights; Model/FREEDOM.py:111-140), mixed as
+  ``mm_image_weight * image + (1-mm_image_weight) * text``
+  (Model/FREEDOM.py:59-66). **Dispatch quirk kept at the builder**:
+  main.py:287-289 passes args.lambda_coeff into the mm_image_weight slot;
+- per-epoch degree-weighted edge pruning: keep (1 - dropout) of edges by
+  multinomial over the normalized edge values, renormalize
+  (Model/FREEDOM.py:143-162); training AND the epoch's ranking use the
+  pruned graph (the reference ranks from the last loss forward's result);
+- forward: h = mm_adj^mm_layers @ item_emb; U-I propagation mean of
+  layers 0..n; item output += h (Model/FREEDOM.py:164-183);
+- loss = BPR (log-sigmoid, no epsilon) + reg_weight * (BPR(u, text_pos,
+  text_neg) + BPR(u, image_pos, image_neg)) on projected modality
+  features — note reg_weight plays the modal-loss weight role here
+  (Model/FREEDOM.py:185-215); the raw feature tables are trainable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chaorec_tpu.graphs.dropout import masked_dense_r
+from chaorec_tpu.graphs.knn import ELLGraph, build_knn_graph
+from chaorec_tpu.graphs.norm_adj import BipartiteGraph
+from chaorec_tpu.models.base import Batch, Params, RecModel
+from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
+from chaorec_tpu.ops.losses import masked_mean
+
+
+class FREEDOM(RecModel):
+    name = "FREEDOM"
+
+    def __init__(self, num_user, num_item, graph: BipartiteGraph,
+                 v_feat, t_feat, dim_E, dim_feat, reg_weight, dropout,
+                 n_layers, mm_layers, ii_topk, mm_image_weight):
+        super().__init__(num_user, num_item)
+        self.graph = graph
+        self.dim_E = dim_E
+        self.dim_feat = dim_feat
+        self.reg_weight = reg_weight
+        self.dropout = dropout
+        self.n_layers = n_layers
+        self.mm_layers = mm_layers
+        self.ii_topk = ii_topk
+        self.mm_image_weight = mm_image_weight
+        self._v_feat_init = v_feat
+        self._t_feat_init = t_feat
+        # Frozen mixed modal graph (from the RAW feature tables at init).
+        gv = build_knn_graph(v_feat, ii_topk, norm="ref_laplacian")
+        gt = build_knn_graph(t_feat, ii_topk, norm="ref_laplacian")
+        # Mixed ELL graph: concatenate both neighbor lists with mixed weights.
+        self.mm_graph = ELLGraph(
+            jnp.concatenate([gv.indices, gt.indices], axis=1),
+            jnp.concatenate(
+                [mm_image_weight * gv.weights, (1.0 - mm_image_weight) * gt.weights],
+                axis=1,
+            ),
+        )
+        self.masked_r = graph.dense_r
+        self._edge_u = np.asarray(graph.u_by_u)
+        self._edge_i = np.asarray(graph.i_by_u)
+        self._edge_w = np.asarray(graph.w_by_u, dtype=np.float64)
+
+    def init_params(self, rng: jax.Array) -> Params:
+        ks = jax.random.split(rng, 6)
+        vw, vb = torch_linear_init(ks[2], self.dim_feat, self._v_feat_init.shape[1])
+        tw, tb = torch_linear_init(ks[3], self.dim_feat, self._t_feat_init.shape[1])
+        return {
+            "user_embedding": xavier_uniform(ks[0], (self.num_user, self.dim_E)),
+            "item_embedding": xavier_uniform(ks[1], (self.num_item, self.dim_E)),
+            "v_feat": self._v_feat_init,
+            "t_feat": self._t_feat_init,
+            "image_trs_w": vw, "image_trs_b": vb,
+            "text_trs_w": tw, "text_trs_b": tb,
+        }
+
+    def pre_epoch(self, params, rng, epoch: int) -> None:
+        if self.dropout <= 0.0:
+            self.masked_r = self.graph.dense_r
+            return
+        E = self._edge_u.shape[0]
+        keep_len = int(E * (1.0 - self.dropout))
+        rs = np.random.default_rng(epoch * 6151 + 29)
+        p = self._edge_w / self._edge_w.sum()
+        keep_idx = rs.choice(E, size=keep_len, replace=False, p=p)
+        mask = np.zeros((E,), np.float32)
+        mask[keep_idx] = 1.0
+        r, _, _ = masked_dense_r(
+            jnp.asarray(self._edge_u), jnp.asarray(self._edge_i),
+            jnp.asarray(mask), self.num_user, self.num_item,
+        )
+        self.masked_r = r
+
+    def forward(self, params: Params):
+        h = params["item_embedding"]
+        for _ in range(self.mm_layers):
+            h = self.mm_graph.propagate(h)
+        r = self.masked_r.astype(jnp.float32)
+        xu, xi = params["user_embedding"], params["item_embedding"]
+        acc_u, acc_i = xu, xi
+        for _ in range(self.n_layers):
+            xu, xi = (
+                jnp.dot(r, xi, preferred_element_type=jnp.float32),
+                jnp.dot(r.T, xu, preferred_element_type=jnp.float32),
+            )
+            acc_u = acc_u + xu
+            acc_i = acc_i + xi
+        s = 1.0 / (self.n_layers + 1)
+        return acc_u * s, acc_i * s + h
+
+    @staticmethod
+    def _bpr(u, pos, neg, w):
+        return -masked_mean(
+            jax.nn.log_sigmoid(jnp.sum(u * pos, 1) - jnp.sum(u * neg, 1)), w
+        )
+
+    def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:
+        fu, fi = self.forward(params)
+        u = fu[batch.users]
+        pos = fi[batch.pos_items]
+        neg = fi[batch.neg_items]
+        w = batch.weights
+        mf = self._bpr(u, pos, neg, w)
+        text = params["t_feat"] @ params["text_trs_w"].T + params["text_trs_b"]
+        image = params["v_feat"] @ params["image_trs_w"].T + params["image_trs_b"]
+        mf_t = self._bpr(u, text[batch.pos_items], text[batch.neg_items], w)
+        mf_v = self._bpr(u, image[batch.pos_items], image[batch.neg_items], w)
+        return mf + self.reg_weight * (mf_t + mf_v)
+
+    def embeddings(self, params: Params):
+        return self.forward(params)

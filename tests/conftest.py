@@ -62,6 +62,15 @@ def tiny_dataset():
         val_pos.append(pool[:2])
         test_pos.append(pool[2:4])
 
+    # Structured synthetic modality features (same recipe as the loader's
+    # fallback): random projection of interaction columns + noise.
+    def feat(dim, seed):
+        fr = np.random.default_rng(seed)
+        proj = fr.standard_normal((num_user, dim)).astype(np.float32)
+        f = np.zeros((num_item, dim), np.float32)
+        np.add.at(f, edges[:, 1], proj[edges[:, 0]])
+        return f + 0.1 * fr.standard_normal((num_item, dim)).astype(np.float32)
+
     return RecDataset(
         name="tiny",
         num_user=num_user,
@@ -72,4 +81,6 @@ def tiny_dataset():
         val_pos=_pad_lists(val_pos, fill=-1),
         test_users=np.arange(num_user, dtype=np.int32),
         test_pos=_pad_lists(test_pos, fill=-1),
+        v_feat=feat(32, 11),
+        t_feat=feat(16, 22),
     )

@@ -64,6 +64,24 @@ def test_structured_models_learn(tiny_dataset, model_name):
     assert best[20]["recall"] > 0.5, (model_name, best)
 
 
+@pytest.mark.parametrize("model_name", ["VBPR", "FREEDOM", "BM3", "SLMRec", "MGCL"])
+def test_multimodal_models_learn(tiny_dataset, model_name):
+    overrides = {
+        "VBPR": dict(reg_weight=1e-4),
+        "BM3": dict(reg_weight=1e-4, dropout=0.3, cl_weight=1.0,
+                    feature_embed=16),
+        "SLMRec": dict(ssl_alpha=0.05, ssl_temp=0.2, n_layers=1),
+        "MGCL": dict(reg_weight=1e-4, ssl_alpha=0.01, ssl_temp=0.2),
+        # feature_embed must equal dim_E (the reference's modal BPR dots
+        # user embeddings against dim_feat-projected features).
+        "FREEDOM": dict(reg_weight=1e-3, n_layers=2, mm_layers=1,
+                        ii_topk=5, dropout=0.1, lambda_coeff=0.8,
+                        feature_embed=16),
+    }[model_name]
+    best = _run(model_name, tiny_dataset, epochs=25, **overrides)
+    assert best[20]["recall"] > 0.5, (model_name, best)
+
+
 @pytest.mark.parametrize("model_name", ["FKAN_GCF", "LightGODE"])
 def test_special_models_learn(tiny_dataset, model_name):
     overrides = {
