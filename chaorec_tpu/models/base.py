@@ -44,12 +44,15 @@ class Batch(NamedTuple):
     """One training micro-batch; all shapes static.
 
     ``weights`` in {0,1} marks real vs padded rows (fixed-shape batching of
-    the reference's smaller final batch)."""
+    the reference's smaller final batch). ``index`` is the batch's position
+    within the epoch (scalar) — used by models with first-batch semantics
+    (LATTICE/MICRO graph rebuilds, train_and_evaluate.py:98-106)."""
 
     users: jnp.ndarray  # (B,) int32
     pos_items: jnp.ndarray  # (B,) int32, 0-based
     neg_items: jnp.ndarray  # (B,) int32, 0-based
     weights: jnp.ndarray  # (B,) float32
+    index: Any = None  # scalar int32 batch index within the epoch
 
 
 class RecModel:

@@ -16,8 +16,13 @@ from chaorec_tpu.models.dccf import DCCF
 from chaorec_tpu.models.bm3 import BM3
 from chaorec_tpu.models.fkan_gcf import FKAN_GCF
 from chaorec_tpu.models.freedom import FREEDOM
+from chaorec_tpu.models.lattice import LATTICE
 from chaorec_tpu.models.mgcl import MGCL
+from chaorec_tpu.models.mgcn import MGCN
+from chaorec_tpu.models.micro import MICRO
+from chaorec_tpu.models.gume import GUME
 from chaorec_tpu.models.slmrec import SLMRec
+from chaorec_tpu.models.smore import SMORE
 from chaorec_tpu.models.vbpr import VBPR
 from chaorec_tpu.models.lightgode import LightGODE
 from chaorec_tpu.models.dgcf import DGCF
@@ -201,6 +206,63 @@ def _freedom(cfg: Config, ds: RecDataset):
         cfg.dim_E, cfg.feature_embed, cfg.reg_weight, cfg.dropout,
         cfg.n_layers, cfg.mm_layers, cfg.ii_topk,
         mm_image_weight=cfg.lambda_coeff,
+    )
+
+
+@register_model("LATTICE")
+def _lattice(cfg: Config, ds: RecDataset):
+    # main.py:276-279: LATTICE(..., dim_E, feature_embedding, reg_weight,
+    #   n_layers, mm_layers, ii_topk, aggr_mode, lambda_coeff, device)
+    v, t = _feats(ds)
+    return LATTICE(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.feature_embed, cfg.reg_weight, cfg.n_layers,
+        cfg.mm_layers, cfg.ii_topk, cfg.lambda_coeff,
+    )
+
+
+@register_model("MICRO")
+def _micro(cfg: Config, ds: RecDataset):
+    # main.py:294-296: MICRO(..., dim_E, n_layers, reg_weight, ii_topk,
+    #   mm_layers, ssl_temp, lambda_coeff, ssl_alpha, aggr_mode, device)
+    v, t = _feats(ds)
+    return MICRO(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.n_layers, cfg.reg_weight, cfg.ii_topk,
+        cfg.mm_layers, cfg.ssl_temp, cfg.lambda_coeff, cfg.ssl_alpha,
+    )
+
+
+@register_model("MGCN")
+def _mgcn(cfg: Config, ds: RecDataset):
+    # main.py:316-317: MGCN(..., dim_E, reg_weight, n_layers, aggr_mode,
+    #   ssl_temp, ssl_alpha, device) — n_layers/n_ui_layers hardcoded inside.
+    v, t = _feats(ds)
+    return MGCN(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.reg_weight, cfg.ssl_temp, cfg.ssl_alpha,
+    )
+
+
+@register_model("SMORE")
+def _smore(cfg: Config, ds: RecDataset):
+    # main.py:377-378: SMORE(..., dim_E, reg_weight, n_ui_layers, ii_topk,
+    #   dropout, dataset, device)
+    v, t = _feats(ds)
+    return SMORE(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.reg_weight, cfg.n_ui_layers, cfg.ii_topk, cfg.dropout,
+    )
+
+
+@register_model("GUME")
+def _gume(cfg: Config, ds: RecDataset):
+    # main.py:379-380: GUME(..., dim_E, n_layers, n_ui_layers, um_loss,
+    #   vt_loss, dataset, device)
+    v, t = _feats(ds)
+    return GUME(
+        ds.num_user, ds.num_item, ds.train_edges, v, t,
+        cfg.dim_E, cfg.n_layers, cfg.n_ui_layers, cfg.um_loss, cfg.vt_loss,
     )
 
 

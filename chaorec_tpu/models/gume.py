@@ -1,0 +1,238 @@
+"""GUME: graph augmentation + user-modality enhancement.
+
+Reference: Model/GUME.py. Capabilities reproduced:
+- item-item augmentation of the U-I graph: for each item, the
+  intersection of its visual and textual kNN(10) neighbor lists (minus
+  itself) becomes I-I edges appended to the adjacency before symmetric
+  normalization (find_inter/add_edge/get_adj_mat,
+  Model/GUME.py:196-275; the reference caches this as gume_inter.json —
+  here it is recomputed deterministically at build);
+- views: extended-id (U-I+I-I conv of id tables), explicit modal views
+  (gated modal item tables conv'd over per-modality kNN graphs + R-mapped
+  users), extended modal views (conv of extended user tables with
+  explicit modal items), coarse/fine-grained fusion with a shared
+  attention MLP + behavior gates (Model/GUME.py:300-377);
+- losses (Model/GUME.py:380-460): BPR + reg1(1e-5, /1024-batch quirk) +
+  bm(0.01) InfoNCE(integration, extended_id) + vt_loss * |var/mean diff|
+  alignment + um_loss * (InfoNCE(extended_it_u, integration_u) + 2
+  noise-perturbed InfoNCE terms) + reg2(0.1) on extended_it pos items.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chaorec_tpu.models.base import Batch, Params, RecModel
+from chaorec_tpu.models.lattice import dense_knn_sim, dense_norm_laplacian
+from chaorec_tpu.models.slmrec import in_batch_ce
+from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
+from chaorec_tpu.ops.losses import l2norm, masked_mean
+
+
+def _knn_indices(feats: np.ndarray, k: int) -> np.ndarray:
+    f = feats / (np.linalg.norm(feats, axis=1, keepdims=True) + 1e-12)
+    sim = f @ f.T
+    return np.argsort(-sim, axis=1)[:, :k]
+
+
+class GUME(RecModel):
+    name = "GUME"
+    bm_loss = 0.01
+    reg_weight_1 = 1e-5
+    reg_weight_2 = 0.1
+    bm_temp = 0.2
+    um_temp = 0.2
+    knn_k = 10
+    ref_batch = 1024.0
+
+    def __init__(self, num_user, num_item, edges: np.ndarray, v_feat, t_feat,
+                 dim_E, n_layers, n_ui_layers, um_loss, vt_loss):
+        super().__init__(num_user, num_item)
+        self.dim_E = dim_E
+        self.n_layers = n_layers
+        self.n_ui_layers = n_ui_layers
+        self.um_loss_w = um_loss
+        self.vt_loss_w = vt_loss
+        self._v_init = v_feat
+        self._t_init = t_feat
+        k = min(self.knn_k, num_item)
+        self.image_adj = dense_norm_laplacian(dense_knn_sim(v_feat, k))
+        self.text_adj = dense_norm_laplacian(dense_knn_sim(t_feat, k))
+
+        # I-I intersection edges + combined normalized adjacency blocks.
+        vi = _knn_indices(np.asarray(v_feat), k)
+        ti = _knn_indices(np.asarray(t_feat), k)
+        rows, cols = [], []
+        for i in range(num_item):
+            inter = set(vi[i]) & set(ti[i])
+            inter.discard(i)
+            for j in inter:
+                rows.append(i)
+                cols.append(int(j))
+        a_ui = np.zeros((num_user, num_item), np.float32)
+        a_ui[edges[:, 0], edges[:, 1]] = 1.0
+        a_ii = np.zeros((num_item, num_item), np.float32)
+        if rows:
+            a_ii[rows, cols] = 1.0
+        deg_u = a_ui.sum(1)
+        deg_i = a_ui.sum(0) + a_ii.sum(1)
+        du = np.where(deg_u > 0, deg_u ** -0.5, 0.0)
+        di = np.where(deg_i > 0, deg_i ** -0.5, 0.0)
+        self.r_norm = jnp.asarray(a_ui * du[:, None] * di[None, :])
+        self.ii_norm = jnp.asarray(a_ii * di[:, None] * di[None, :])
+
+    def init_params(self, rng: jax.Array) -> Params:
+        ks = jax.random.split(rng, 14)
+        d = self.dim_E
+        p = {
+            "user_embedding": xavier_uniform(ks[0], (self.num_user, d)),
+            "item_id_embedding": xavier_uniform(ks[1], (self.num_item, d)),
+            "extended_image_user": xavier_uniform(ks[2], (self.num_user, d)),
+            "extended_text_user": xavier_uniform(ks[3], (self.num_user, d)),
+            "v_feat": self._v_init, "t_feat": self._t_init,
+        }
+        for i, (name, ind) in enumerate([
+            ("image_reduce", self._v_init.shape[1]),
+            ("text_reduce", self._t_init.shape[1]),
+        ]):
+            w, b = torch_linear_init(ks[4 + i], d, ind)
+            p[f"{name}_w"], p[f"{name}_b"] = w, b
+        for i, name in enumerate(
+            ["image_trans", "text_trans", "image_behavior", "text_behavior"]
+        ):
+            w, b = torch_linear_init(ks[6 + i], d, d)
+            p[f"{name}_w"], p[f"{name}_b"] = w, b
+        q1w, q1b = torch_linear_init(ks[10], d, d)
+        q2w, _ = torch_linear_init(ks[11], 1, d)
+        p.update(sep_w1=q1w, sep_b1=q1b, sep_w2=q2w)
+        return p
+
+    def _conv_ui(self, xu, xi):
+        """mean of layers 0..n_ui over the AUGMENTED adjacency blocks."""
+        r, ii = self.r_norm, self.ii_norm
+        acc_u, acc_i = xu, xi
+        cu, ci = xu, xi
+        for _ in range(self.n_ui_layers):
+            cu, ci = (
+                jnp.dot(r, ci, preferred_element_type=jnp.float32),
+                jnp.dot(r.T, cu, preferred_element_type=jnp.float32)
+                + jnp.dot(ii, ci, preferred_element_type=jnp.float32),
+            )
+            acc_u = acc_u + cu
+            acc_i = acc_i + ci
+        s = 1.0 / (self.n_ui_layers + 1)
+        return acc_u * s, acc_i * s
+
+    def forward(self, params: Params):
+        d = self.dim_E
+        img_space = jax.nn.sigmoid(
+            (params["v_feat"] @ params["image_reduce_w"].T + params["image_reduce_b"])
+            @ params["image_trans_w"].T + params["image_trans_b"]
+        )
+        txt_space = jax.nn.sigmoid(
+            (params["t_feat"] @ params["text_reduce_w"].T + params["text_reduce_b"])
+            @ params["text_trans_w"].T + params["text_trans_b"]
+        )
+        items = params["item_id_embedding"]
+        img_item = items * img_space
+        txt_item = items * txt_space
+
+        ext_id_u, ext_id_i = self._conv_ui(params["user_embedding"], items)
+
+        def conv_ii(adj, x):
+            for _ in range(self.n_layers):
+                x = jnp.dot(adj, x, preferred_element_type=jnp.float32)
+            return x
+
+        exp_img_i = conv_ii(self.image_adj, img_item)
+        exp_txt_i = conv_ii(self.text_adj, txt_item)
+        exp_img_u = jnp.dot(self.r_norm, exp_img_i, preferred_element_type=jnp.float32)
+        exp_txt_u = jnp.dot(self.r_norm, exp_txt_i, preferred_element_type=jnp.float32)
+
+        ext_img_u, ext_img_i = self._conv_ui(params["extended_image_user"], exp_img_i)
+        ext_txt_u, ext_txt_i = self._conv_ui(params["extended_text_user"], exp_txt_i)
+        ext_it_u = (ext_img_u + ext_txt_u) / 2
+        ext_it_i = (ext_img_i + ext_txt_i) / 2
+
+        def query(x):
+            return jnp.tanh(x @ params["sep_w1"].T + params["sep_b1"]) @ params["sep_w2"].T
+
+        def fuse(img_u, img_i, txt_u, txt_i, content_u, content_i):
+            img = jnp.concatenate([img_u, img_i], 0)
+            txt = jnp.concatenate([txt_u, txt_i], 0)
+            att = jax.nn.softmax(
+                jnp.concatenate([query(img), query(txt)], -1), axis=-1
+            )
+            coarse = att[:, :1] * img + att[:, 1:] * txt
+            content = jnp.concatenate([content_u, content_i], 0)
+            bi = jax.nn.sigmoid(content @ params["image_behavior_w"].T
+                                + params["image_behavior_b"])
+            bt = jax.nn.sigmoid(content @ params["text_behavior_w"].T
+                                + params["text_behavior_b"])
+            fine_i = bi * (img - coarse)
+            fine_t = bt * (txt - coarse)
+            return (fine_i + fine_t + coarse) / 3.0
+
+        integration = fuse(exp_img_u, exp_img_i, exp_txt_u, exp_txt_i,
+                           ext_id_u, ext_id_i)
+        ext_id = jnp.concatenate([ext_id_u, ext_id_i], 0)
+        all_embeds = ext_id + integration
+        exp_img = jnp.concatenate([exp_img_u, exp_img_i], 0)
+        exp_txt = jnp.concatenate([exp_txt_u, exp_txt_i], 0)
+        ext_it = jnp.concatenate([ext_it_u, ext_it_i], 0)
+        return all_embeds, integration, ext_id, ext_it, exp_img, exp_txt
+
+    def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:
+        all_e, integration, ext_id, ext_it, exp_img, exp_txt = self.forward(params)
+        U = self.num_user
+        fu, fi = all_e[:U], all_e[U:]
+        u = fu[batch.users]
+        pos = fi[batch.pos_items]
+        neg = fi[batch.neg_items]
+        w = batch.weights
+        mf = -masked_mean(
+            jax.nn.log_sigmoid(jnp.sum(u * pos, 1) - jnp.sum(u * neg, 1)), w
+        )
+        reg1 = self.reg_weight_1 * 0.5 * (
+            jnp.sum(u ** 2 * w[:, None]) + jnp.sum(pos ** 2 * w[:, None])
+            + jnp.sum(neg ** 2 * w[:, None])
+        ) / self.ref_batch
+        vt = self.vt_loss_w * (
+            jnp.abs(jnp.var(exp_img) - jnp.var(exp_txt))
+            + jnp.abs(jnp.mean(exp_img) - jnp.mean(exp_txt))
+        )
+        bu, bi = batch.users, batch.pos_items
+        bm = self.bm_loss * (
+            in_batch_ce(l2norm(integration[:U][bu]), l2norm(ext_id[:U][bu]),
+                        self.bm_temp, w)
+            + in_batch_ce(l2norm(integration[U:][bi]), l2norm(ext_id[U:][bi]),
+                          self.bm_temp, w)
+        )
+
+        def noise_cl(k, emb_rows):
+            def perturb(kk, x):
+                noise = jax.random.uniform(kk, x.shape)
+                noise = l2norm(noise)
+                return x + jnp.sign(x) * noise * 0.1
+            k1, k2 = jax.random.split(k)
+            return in_batch_ce(
+                l2norm(perturb(k1, emb_rows)), l2norm(perturb(k2, emb_rows)),
+                self.um_temp, w,
+            )
+
+        k1, k2 = jax.random.split(rng)
+        c = in_batch_ce(l2norm(ext_it[:U][bu]), l2norm(integration[:U][bu]),
+                        self.um_temp, w)
+        um = self.um_loss_w * (
+            c + noise_cl(k1, integration[:U][bu]) + noise_cl(k2, ext_it[:U][bu])
+        )
+        reg2 = self.reg_weight_2 * 0.5 * jnp.sum(
+            ext_it[U:][bi] ** 2 * w[:, None]
+        ) / self.ref_batch
+        return mf + vt + bm + um + reg1 + reg2
+
+    def embeddings(self, params: Params):
+        all_e, *_ = self.forward(params)
+        return all_e[: self.num_user], all_e[self.num_user:]

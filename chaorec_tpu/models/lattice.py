@@ -1,0 +1,133 @@
+"""LATTICE: learned latent item-item structure.
+
+Reference: Model/LATTICE.py + the first-batch flag loop
+(train_and_evaluate.py:98-106). Capabilities reproduced:
+- frozen "original" modal graphs from the raw features at init: dense
+  topk-masked similarity, value-weighted symmetric laplacian
+  (Model/LATTICE.py:44-61,100-106);
+- learned graph rebuilt on the FIRST batch of every epoch from the
+  *projected* features with gradients flowing into image_trs/text_trs and
+  the softmax modal_weight; remaining batches reuse the stored graph
+  detached (Model/LATTICE.py:117-135 build_item_graph flag) — realized
+  here with the stateful protocol + ``lax.cond`` on ``batch.index``;
+- item_adj = (1-lambda_coeff) * learned + lambda_coeff * original-mix;
+  h = item_adj^mm_layers @ item_emb; LightGCN U-I propagation mean of
+  layers 0..n; item output += L2-normalized h (Model/LATTICE.py:137-151);
+- BPR(+1e-5) + mean reg on final embeddings (Model/LATTICE.py:153-177).
+
+The dense I x I graphs are exact (the reference materializes them too);
+all similarity/topk/laplacian work is MXU matmuls + top_k.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from chaorec_tpu.graphs.norm_adj import BipartiteGraph
+from chaorec_tpu.models.base import Batch, Params, RecModel
+from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
+from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg, l2norm
+
+
+def dense_knn_sim(feats: jnp.ndarray, topk: int) -> jnp.ndarray:
+    """build_sim + build_knn_neighbourhood (Model/LATTICE.py:44-61):
+    cosine similarity with all but each row's top-k zeroed (values kept)."""
+    sim = jnp.dot(l2norm(feats), l2norm(feats).T,
+                  preferred_element_type=jnp.float32)
+    kth = jax.lax.top_k(sim, topk)[0][:, -1:]
+    return jnp.where(sim >= kth, sim, 0.0)
+
+
+def dense_norm_laplacian(adj: jnp.ndarray) -> jnp.ndarray:
+    """Value-weighted D^-1/2 A D^-1/2 (Model/LATTICE.py:50-56)."""
+    rowsum = jnp.sum(adj, axis=-1)
+    d = jnp.where(rowsum > 0, rowsum ** -0.5, 0.0)
+    return adj * d[:, None] * d[None, :]
+
+
+class LATTICE(RecModel):
+    name = "LATTICE"
+    stateful = True
+
+    def __init__(self, num_user, num_item, graph: BipartiteGraph, v_feat,
+                 t_feat, dim_E, feat_embed_dim, reg_weight, n_layers,
+                 mm_layers, ii_topk, lambda_coeff):
+        super().__init__(num_user, num_item)
+        self.graph = graph
+        self.dim_E = dim_E
+        self.feat_embed_dim = feat_embed_dim
+        self.reg_weight = reg_weight
+        self.n_layers = n_layers
+        self.mm_layers = mm_layers
+        self.topk = ii_topk
+        self.lambda_coeff = lambda_coeff
+        self._v_init = v_feat
+        self._t_init = t_feat
+        self.image_original_adj = dense_norm_laplacian(
+            dense_knn_sim(v_feat, ii_topk)
+        )
+        self.text_original_adj = dense_norm_laplacian(
+            dense_knn_sim(t_feat, ii_topk)
+        )
+
+    def init_params(self, rng: jax.Array) -> Params:
+        ks = jax.random.split(rng, 4)
+        vw, vb = torch_linear_init(ks[2], self.feat_embed_dim, self._v_init.shape[1])
+        tw, tb = torch_linear_init(ks[3], self.feat_embed_dim, self._t_init.shape[1])
+        return {
+            "user_embedding": xavier_uniform(ks[0], (self.num_user, self.dim_E)),
+            "item_embedding": xavier_uniform(ks[1], (self.num_item, self.dim_E)),
+            "v_feat": self._v_init, "t_feat": self._t_init,
+            "image_trs_w": vw, "image_trs_b": vb,
+            "text_trs_w": tw, "text_trs_b": tb,
+            "modal_weight": jnp.asarray([0.5, 0.5], jnp.float32),
+        }
+
+    def init_state(self, rng: jax.Array):
+        # item_adj buffer; epoch's first batch overwrites it.
+        w = jax.nn.softmax(jnp.asarray([0.5, 0.5]))
+        original = w[0] * self.image_original_adj + w[1] * self.text_original_adj
+        return original
+
+    def _build_item_adj(self, params: Params) -> jnp.ndarray:
+        image_feats = params["v_feat"] @ params["image_trs_w"].T + params["image_trs_b"]
+        text_feats = params["t_feat"] @ params["text_trs_w"].T + params["text_trs_b"]
+        w = jax.nn.softmax(params["modal_weight"])
+        learned = dense_norm_laplacian(
+            w[0] * dense_knn_sim(image_feats, self.topk)
+            + w[1] * dense_knn_sim(text_feats, self.topk)
+        )
+        original = w[0] * self.image_original_adj + w[1] * self.text_original_adj
+        return (1.0 - self.lambda_coeff) * learned + self.lambda_coeff * original
+
+    def _forward(self, params: Params, item_adj):
+        h = params["item_embedding"]
+        for _ in range(self.mm_layers):
+            h = jnp.dot(item_adj, h, preferred_element_type=jnp.float32)
+        xu, xi = params["user_embedding"], params["item_embedding"]
+        acc_u, acc_i = xu, xi
+        for _ in range(self.n_layers):
+            xu, xi = self.graph.propagate(xu, xi)
+            acc_u = acc_u + xu
+            acc_i = acc_i + xi
+        s = 1.0 / (self.n_layers + 1)
+        return acc_u * s, acc_i * s + l2norm(h)
+
+    def loss_stateful(self, params: Params, state, batch: Batch, rng: jax.Array):
+        item_adj = jax.lax.cond(
+            batch.index == 0,
+            lambda: self._build_item_adj(params),
+            lambda: jax.lax.stop_gradient(state),
+        )
+        fu, fi = self._forward(params, item_adj)
+        u = fu[batch.users]
+        pos = fi[batch.pos_items]
+        neg = fi[batch.neg_items]
+        w = batch.weights
+        total = bpr_loss(jnp.sum(u * pos, 1), jnp.sum(u * neg, 1), w, eps=1e-5)
+        total = total + emb_l2_reg(self.reg_weight, (u, pos, neg), w)
+        return total, jax.lax.stop_gradient(item_adj)
+
+    def embeddings_stateful(self, params: Params, state):
+        return self._forward(params, state)

@@ -1,0 +1,134 @@
+"""MICRO: LATTICE + modality-fusion contrastive alignment.
+
+Reference: Model/MICRO.py. Capabilities reproduced:
+- per-modality graphs: frozen original kNN laplacians + learned graphs
+  rebuilt on the FIRST batch of each epoch from projected features, mixed
+  per modality as (1-lambda)*learned + lambda*original
+  (Model/MICRO.py:193-210; stateful + batch.index cond);
+- **single-propagation quirk kept**: the reference's n_ii_layer loop body
+  never feeds back (``self.image_item_embeds = mm(adj, image_item_embeds)``
+  with an unchanged loop variable, Model/MICRO.py:214-218) so each modal
+  view is exactly one propagation of the item table;
+- attention fusion: shared query MLP (Linear-tanh-Linear(1)) -> softmax
+  over modalities; item output += normalized fused h
+  (Model/MICRO.py:220-232);
+- contrastive: full-catalog InfoNCE (refl + between denominators) between
+  each modal view and the fused h over ALL items, mean
+  (Model/MICRO.py:170-191), weight ssl_alpha;
+- BPR(+1e-5) + mean reg.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from chaorec_tpu.graphs.norm_adj import BipartiteGraph
+from chaorec_tpu.models.base import Batch, Params, RecModel
+from chaorec_tpu.models.lattice import dense_knn_sim, dense_norm_laplacian
+from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
+from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg, l2norm
+
+
+def full_catalog_cl(z1, z2, tau):
+    """mean_i -log( e(s(z1_i,z2_i)/t) / (sum_j e(s(z1_i,z1_j)/t) +
+    sum_j e(s(z1_i,z2_j)/t) - e(s(z1_i,z1_i)/t)) )  (Model/MICRO.py:170-191)."""
+    n1, n2 = l2norm(z1), l2norm(z2)
+    refl = jnp.exp(jnp.dot(n1, n1.T, preferred_element_type=jnp.float32) / tau)
+    betw = jnp.exp(jnp.dot(n1, n2.T, preferred_element_type=jnp.float32) / tau)
+    pos = jnp.diagonal(betw)
+    denom = refl.sum(1) + betw.sum(1) - jnp.diagonal(refl)
+    return jnp.mean(-jnp.log(pos / denom + 1e-12))
+
+
+class MICRO(RecModel):
+    name = "MICRO"
+    stateful = True
+
+    def __init__(self, num_user, num_item, graph: BipartiteGraph, v_feat,
+                 t_feat, dim_E, n_layers, reg_weight, ii_topk, mm_layers,
+                 ssl_temp, lambda_coeff, ssl_alpha):
+        super().__init__(num_user, num_item)
+        self.graph = graph
+        self.dim_E = dim_E
+        self.n_ui_layers = n_layers
+        self.reg_weight = reg_weight
+        self.topk = ii_topk
+        self.tau = ssl_temp
+        self.lambda_coeff = lambda_coeff
+        self.beta = ssl_alpha
+        self._v_init = v_feat
+        self._t_init = t_feat
+        self.image_original_adj = dense_norm_laplacian(dense_knn_sim(v_feat, ii_topk))
+        self.text_original_adj = dense_norm_laplacian(dense_knn_sim(t_feat, ii_topk))
+
+    def init_params(self, rng: jax.Array) -> Params:
+        ks = jax.random.split(rng, 7)
+        vw, vb = torch_linear_init(ks[2], self.dim_E, self._v_init.shape[1])
+        tw, tb = torch_linear_init(ks[3], self.dim_E, self._t_init.shape[1])
+        q1w, q1b = torch_linear_init(ks[4], self.dim_E, self.dim_E)
+        q2w, _ = torch_linear_init(ks[5], 1, self.dim_E)
+        return {
+            "user_embedding": xavier_uniform(ks[0], (self.num_user, self.dim_E)),
+            "item_embedding": xavier_uniform(ks[1], (self.num_item, self.dim_E)),
+            "v_feat": self._v_init, "t_feat": self._t_init,
+            "image_trs_w": vw, "image_trs_b": vb,
+            "text_trs_w": tw, "text_trs_b": tb,
+            "query_w1": q1w, "query_b1": q1b, "query_w2": q2w,
+        }
+
+    def init_state(self, rng: jax.Array):
+        return (self.image_original_adj, self.text_original_adj)
+
+    def _build_adjs(self, params: Params):
+        image_feats = params["v_feat"] @ params["image_trs_w"].T + params["image_trs_b"]
+        text_feats = params["t_feat"] @ params["text_trs_w"].T + params["text_trs_b"]
+        img = dense_norm_laplacian(dense_knn_sim(image_feats, self.topk))
+        txt = dense_norm_laplacian(dense_knn_sim(text_feats, self.topk))
+        img = (1 - self.lambda_coeff) * img + self.lambda_coeff * self.image_original_adj
+        txt = (1 - self.lambda_coeff) * txt + self.lambda_coeff * self.text_original_adj
+        return img, txt
+
+    def _query(self, params, x):
+        h = jnp.tanh(x @ params["query_w1"].T + params["query_b1"])
+        return h @ params["query_w2"].T  # (N, 1)
+
+    def _forward(self, params: Params, adjs):
+        img_adj, txt_adj = adjs
+        items = params["item_embedding"]
+        image_item = jnp.dot(img_adj, items, preferred_element_type=jnp.float32)
+        text_item = jnp.dot(txt_adj, items, preferred_element_type=jnp.float32)
+        att = jnp.concatenate(
+            [self._query(params, image_item), self._query(params, text_item)], -1
+        )
+        w = jax.nn.softmax(att, axis=-1)
+        h = w[:, :1] * image_item + w[:, 1:] * text_item
+
+        xu, xi = params["user_embedding"], items
+        acc_u, acc_i = xu, xi
+        for _ in range(self.n_ui_layers):
+            xu, xi = self.graph.propagate(xu, xi)
+            acc_u = acc_u + xu
+            acc_i = acc_i + xi
+        s = 1.0 / (self.n_ui_layers + 1)
+        return acc_u * s, acc_i * s + l2norm(h), image_item, text_item, h
+
+    def loss_stateful(self, params: Params, state, batch: Batch, rng: jax.Array):
+        adjs = jax.lax.cond(
+            batch.index == 0,
+            lambda: self._build_adjs(params),
+            lambda: jax.tree.map(jax.lax.stop_gradient, state),
+        )
+        fu, fi, img_i, txt_i, h = self._forward(params, adjs)
+        u = fu[batch.users]
+        pos = fi[batch.pos_items]
+        neg = fi[batch.neg_items]
+        w = batch.weights
+        total = bpr_loss(jnp.sum(u * pos, 1), jnp.sum(u * neg, 1), w, eps=1e-5)
+        total = total + emb_l2_reg(self.reg_weight, (u, pos, neg), w)
+        cl = full_catalog_cl(img_i, h, self.tau) + full_catalog_cl(txt_i, h, self.tau)
+        return total + self.beta * cl, jax.tree.map(jax.lax.stop_gradient, adjs)
+
+    def embeddings_stateful(self, params: Params, state):
+        fu, fi, *_ = self._forward(params, state)
+        return fu, fi

@@ -122,12 +122,12 @@ class Trainer:
 
             def step(carry, xs):
                 params, opt_state, mstate, rng = carry
-                u, p, w = xs
+                u, p, w, idx = xs
                 rng, neg_rng, loss_rng = jax.random.split(rng, 3)
                 neg = sample_negatives(
                     neg_rng, u, history, num_item, cfg.neg_candidates
                 )
-                batch = Batch(u, p, neg, w)
+                batch = Batch(u, p, neg, w, idx)
                 if stateful:
                     (loss, mstate), grads = jax.value_and_grad(
                         model.loss_stateful, has_aux=True
@@ -141,7 +141,9 @@ class Trainer:
                 return (params, opt_state, mstate, rng), loss
 
             (params, opt_state, mstate, rng), losses = jax.lax.scan(
-                step, (params, opt_state, mstate, rng), (users, pos, weights)
+                step, (params, opt_state, mstate, rng),
+                (users, pos, weights,
+                 jnp.arange(users.shape[0], dtype=jnp.int32)),
             )
             return params, opt_state, mstate, rng, jnp.sum(losses)
 

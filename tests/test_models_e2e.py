@@ -64,7 +64,11 @@ def test_structured_models_learn(tiny_dataset, model_name):
     assert best[20]["recall"] > 0.5, (model_name, best)
 
 
-@pytest.mark.parametrize("model_name", ["VBPR", "FREEDOM", "BM3", "SLMRec", "MGCL"])
+@pytest.mark.parametrize(
+    "model_name",
+    ["VBPR", "FREEDOM", "BM3", "SLMRec", "MGCL", "LATTICE", "MICRO", "MGCN",
+     "SMORE", "GUME"],
+)
 def test_multimodal_models_learn(tiny_dataset, model_name):
     overrides = {
         "VBPR": dict(reg_weight=1e-4),
@@ -72,6 +76,13 @@ def test_multimodal_models_learn(tiny_dataset, model_name):
                     feature_embed=16),
         "SLMRec": dict(ssl_alpha=0.05, ssl_temp=0.2, n_layers=1),
         "MGCL": dict(reg_weight=1e-4, ssl_alpha=0.01, ssl_temp=0.2),
+        "LATTICE": dict(reg_weight=0.01, n_layers=2, mm_layers=1,
+                        ii_topk=5, lambda_coeff=0.1, feature_embed=16),
+        "MICRO": dict(reg_weight=0.01, n_layers=2, mm_layers=1, ii_topk=5,
+                      ssl_temp=0.5, ssl_alpha=0.1, lambda_coeff=0.1),
+        "MGCN": dict(reg_weight=1e-4, ssl_alpha=0.01, ssl_temp=0.2),
+        "SMORE": dict(reg_weight=1e-5, n_ui_layers=3, ii_topk=5, dropout=0.0),
+        "GUME": dict(n_ui_layers=3, n_layers=1, um_loss=0.1, vt_loss=0.01),
         # feature_embed must equal dim_E (the reference's modal BPR dots
         # user embeddings against dim_feat-projected features).
         "FREEDOM": dict(reg_weight=1e-3, n_layers=2, mm_layers=1,
