@@ -20,6 +20,9 @@ from chaorec_tpu.models.lattice import LATTICE
 from chaorec_tpu.models.mgcl import MGCL
 from chaorec_tpu.models.mgcn import MGCN
 from chaorec_tpu.models.micro import MICRO
+from chaorec_tpu.models.cohesion import COHESION
+from chaorec_tpu.models.dragon import DRAGON
+from chaorec_tpu.models.dualgnn import DualGNN
 from chaorec_tpu.models.gume import GUME
 from chaorec_tpu.models.slmrec import SLMRec
 from chaorec_tpu.models.smore import SMORE
@@ -241,6 +244,41 @@ def _mgcn(cfg: Config, ds: RecDataset):
     return MGCN(
         ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
         cfg.dim_E, cfg.reg_weight, cfg.ssl_temp, cfg.ssl_alpha,
+    )
+
+
+@register_model("DualGNN")
+def _dualgnn(cfg: Config, ds: RecDataset):
+    # main.py:280-281: DualGNN(..., dim_E, feature_embedding, reg_weight,
+    #   uu_topk, aggr_mode, device)
+    v, t = _feats(ds)
+    return DualGNN(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), ds.train_edges, v, t,
+        cfg.dim_E, cfg.feature_embed, cfg.reg_weight, cfg.uu_topk,
+    )
+
+
+@register_model("DRAGON")
+def _dragon(cfg: Config, ds: RecDataset):
+    # main.py:284-286: DRAGON(..., dim_E, feature_embedding, reg_weight,
+    #   n_layers, ii_topk, uu_topk, lambda_coeff(->mm_image_weight), aggr, device)
+    v, t = _feats(ds)
+    return DRAGON(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), ds.train_edges, v, t,
+        cfg.dim_E, cfg.feature_embed, cfg.reg_weight, cfg.n_layers,
+        cfg.ii_topk, cfg.uu_topk, mm_image_weight=cfg.lambda_coeff,
+    )
+
+
+@register_model("COHESION")
+def _cohesion(cfg: Config, ds: RecDataset):
+    # main.py:381-383: COHESION(..., dim_E, reg_weight, dropout, n_layers,
+    #   mm_layers, ii_topk, mm_image_weight, device)
+    v, t = _feats(ds)
+    return COHESION(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), ds.train_edges, v, t,
+        cfg.dim_E, cfg.reg_weight, cfg.dropout, cfg.n_layers,
+        cfg.mm_layers, cfg.ii_topk, cfg.mm_image_weight,
     )
 
 

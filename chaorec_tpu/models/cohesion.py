@@ -1,0 +1,192 @@
+"""COHESION: tri-branch dual-stage fusion with adaptive optimization.
+
+Reference: Model/COHESION.py (the repository's default CLI model).
+Capabilities reproduced:
+- three GCNLayer towers (id / visual / textual): per tower a trainable
+  user preference table, item features fused as
+  ``sqrt(|(id^2 + mlp(feat)^2)/2| + 1e-8)``, row-normalized, LayerGCN-style
+  cosine-weighted layers summed incl. ego (Model/COHESION.py:13-45);
+- the id tower's output is **detached** (``id_rep.data``,
+  Model/COHESION.py:319-325) so its MLP/preference train only through the
+  modality towers' use of id_feat;
+- user rep = concat of the three towers' user parts (U, 3d); item rep =
+  concat of tower item parts; item side += mm_adj^mm_layers (frozen 1/k
+  kNN mix, FREEDOM-style); user side += user-graph aggregation with k=40
+  per-epoch resampled co-occurrence neighbors (Model/COHESION.py:336-353);
+- per-epoch degree-weighted U-I edge pruning (dropout) like FREEDOM
+  (Model/COHESION.py:469-483 region);
+- adaptive optimization: per-modality-chunk score softmax ->
+  ``1 - softmax`` detached reweighting of the score dims
+  (Model/COHESION.py:356-364);
+- loss = -mean(log2(sigmoid(pos - neg))) [log base 2 quirk] + reg_weight *
+  (mean v_pref[u]^2 + mean t_pref[u]^2 + mean weight_u^2)
+  (Model/COHESION.py:366-380).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chaorec_tpu.graphs.dropout import masked_dense_r
+from chaorec_tpu.graphs.knn import ELLGraph, build_knn_graph
+from chaorec_tpu.graphs.norm_adj import BipartiteGraph
+from chaorec_tpu.graphs.user_graph import build_user_cooccurrence, topk_sample
+from chaorec_tpu.models.base import Batch, Params, RecModel
+from chaorec_tpu.ops.init import torch_linear_init, xavier_normal
+from chaorec_tpu.ops.losses import l2norm, masked_mean
+
+
+class COHESION(RecModel):
+    name = "COHESION"
+    uu_k = 40  # Model/COHESION.py:83
+
+    def __init__(self, num_user, num_item, graph: BipartiteGraph, edges,
+                 v_feat, t_feat, dim_E, reg_weight, dropout, n_layers,
+                 mm_layers, ii_topk, mm_image_weight):
+        super().__init__(num_user, num_item)
+        self.graph = graph
+        self.dim_latent = dim_E
+        self.reg_weight = reg_weight
+        self.dropout = dropout
+        self.num_layer = n_layers
+        self.mm_layers = mm_layers
+        self.v_feat = v_feat
+        self.t_feat = t_feat
+        gv = build_knn_graph(v_feat, ii_topk, norm="ref_laplacian")
+        gt = build_knn_graph(t_feat, ii_topk, norm="ref_laplacian")
+        self.mm_graph = ELLGraph(
+            jnp.concatenate([gv.indices, gt.indices], axis=1),
+            jnp.concatenate(
+                [mm_image_weight * gv.weights, (1 - mm_image_weight) * gt.weights], 1
+            ),
+        )
+        uu_idx, uu_cnt, uu_len = build_user_cooccurrence(
+            np.asarray(edges), num_user, num_item
+        )
+        self._uu = (uu_idx, uu_cnt, uu_len)
+        rs = np.random.default_rng(0)
+        idx, w = topk_sample(uu_idx, uu_cnt, uu_len, self.uu_k, rs)
+        self.user_nbr_idx = jnp.asarray(idx)
+        self.user_nbr_w = jnp.asarray(w)
+        self.masked_r = graph.dense_r
+        self._edge_u = np.asarray(graph.u_by_u)
+        self._edge_i = np.asarray(graph.i_by_u)
+        self._edge_w = np.asarray(graph.w_by_u, dtype=np.float64)
+
+    def init_params(self, rng: jax.Array) -> Params:
+        ks = jax.random.split(rng, 12)
+        d = self.dim_latent
+        p = {
+            "id_feat": xavier_normal(ks[0], (self.num_item, d)),
+            "weight_u": jax.nn.softmax(
+                xavier_normal(ks[1], (self.num_user, 2, 1)), axis=1
+            ),
+        }
+        for i, (mod, in_dim) in enumerate(
+            [("id", d), ("v", self.v_feat.shape[1]), ("t", self.t_feat.shape[1])]
+        ):
+            p[f"{mod}_preference"] = xavier_normal(
+                ks[2 + i], (self.num_user, d)
+            )
+            w1, b1 = torch_linear_init(ks[5 + 2 * i], 4 * d, in_dim)
+            w2, b2 = torch_linear_init(ks[6 + 2 * i], d, 4 * d)
+            p[f"{mod}_mlp_w1"], p[f"{mod}_mlp_b1"] = w1, b1
+            p[f"{mod}_mlp_w2"], p[f"{mod}_mlp_b2"] = w2, b2
+        return p
+
+    def pre_epoch(self, params, rng, epoch: int) -> None:
+        rs = np.random.default_rng(epoch * 92821 + 3)
+        idx, w = topk_sample(*self._uu, self.uu_k, rs)
+        self.user_nbr_idx = jnp.asarray(idx)
+        self.user_nbr_w = jnp.asarray(w)
+        if self.dropout <= 0.0:
+            self.masked_r = self.graph.dense_r
+            return
+        E = self._edge_u.shape[0]
+        keep_len = int(E * (1.0 - self.dropout))
+        p = self._edge_w / self._edge_w.sum()
+        keep_idx = rs.choice(E, size=keep_len, replace=False, p=p)
+        mask = np.zeros((E,), np.float32)
+        mask[keep_idx] = 1.0
+        r, _, _ = masked_dense_r(
+            jnp.asarray(self._edge_u), jnp.asarray(self._edge_i),
+            jnp.asarray(mask), self.num_user, self.num_item,
+        )
+        self.masked_r = r
+
+    def _tower(self, params, mod, feat):
+        d = self.dim_latent
+        tf = jax.nn.leaky_relu(
+            feat @ params[f"{mod}_mlp_w1"].T + params[f"{mod}_mlp_b1"], 0.01
+        )
+        tf = tf @ params[f"{mod}_mlp_w2"].T + params[f"{mod}_mlp_b2"]
+        idf = params["id_feat"]
+        tf = jnp.sqrt(jnp.abs((idf * idf + tf * tf) / 2.0) + 1e-8)
+        x = l2norm(jnp.concatenate([params[f"{mod}_preference"], tf], axis=0))
+        ego = x
+        r = self.masked_r.astype(jnp.float32)
+        cu, ci = x[: self.num_user], x[self.num_user:]
+        acc_u, acc_i = cu, ci
+        ego_u, ego_i = cu, ci
+        for _ in range(self.num_layer):
+            cu, ci = (
+                jnp.dot(r, ci, preferred_element_type=jnp.float32),
+                jnp.dot(r.T, cu, preferred_element_type=jnp.float32),
+            )
+            wu = jnp.sum(cu * ego_u, 1) / (
+                jnp.linalg.norm(cu, axis=1) * jnp.linalg.norm(ego_u, axis=1) + 1e-8
+            )
+            wi = jnp.sum(ci * ego_i, 1) / (
+                jnp.linalg.norm(ci, axis=1) * jnp.linalg.norm(ego_i, axis=1) + 1e-8
+            )
+            cu = wu[:, None] * cu
+            ci = wi[:, None] * ci
+            acc_u = acc_u + cu
+            acc_i = acc_i + ci
+        return acc_u, acc_i
+
+    def forward(self, params: Params):
+        id_u, id_i = self._tower(params, "id", params["id_feat"])
+        id_u, id_i = jax.lax.stop_gradient(id_u), jax.lax.stop_gradient(id_i)
+        v_u, v_i = self._tower(params, "v", self.v_feat)
+        t_u, t_i = self._tower(params, "t", self.t_feat)
+        user_rep = jnp.concatenate([id_u, v_u, t_u], axis=1)  # (U, 3d)
+        item_rep = jnp.concatenate([id_i, v_i, t_i], axis=1)
+        h_i = item_rep
+        for _ in range(self.mm_layers):
+            h_i = self.mm_graph.propagate(h_i)
+        h_u = jnp.einsum(
+            "uk,ukd->ud", self.user_nbr_w, user_rep[self.user_nbr_idx]
+        )
+        return user_rep + h_u, item_rep + h_i
+
+    def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:
+        fu, fi = self.forward(params)
+        u = fu[batch.users]
+        pos = fi[batch.pos_items]
+        neg = fi[batch.neg_items]
+        w = batch.weights
+        d = self.dim_latent
+        pos_m = jnp.sum((u * pos).reshape(-1, 3, d), axis=-1)  # (B, 3)
+        neg_m = jnp.sum((u * neg).reshape(-1, 3, d), axis=-1)
+        indicator = jax.lax.stop_gradient(
+            1.0 - jax.nn.softmax(pos_m - neg_m, axis=-1)
+        )
+        aw = jnp.repeat(indicator, d, axis=1)  # (B, 3d)
+        pos_scores = jnp.sum(u * pos * aw, axis=1)
+        neg_scores = jnp.sum(u * neg * aw, axis=1)
+        # log2 quirk (Model/COHESION.py:372)
+        bpr = -masked_mean(
+            jnp.log2(jax.nn.sigmoid(pos_scores - neg_scores) + 1e-12), w
+        )
+        reg = self.reg_weight * (
+            masked_mean(jnp.mean(params["v_preference"][batch.users] ** 2, 1), w)
+            + masked_mean(jnp.mean(params["t_preference"][batch.users] ** 2, 1), w)
+            + jnp.mean(params["weight_u"] ** 2)
+        )
+        return bpr + reg
+
+    def embeddings(self, params: Params):
+        return self.forward(params)

@@ -67,7 +67,7 @@ def test_structured_models_learn(tiny_dataset, model_name):
 @pytest.mark.parametrize(
     "model_name",
     ["VBPR", "FREEDOM", "BM3", "SLMRec", "MGCL", "LATTICE", "MICRO", "MGCN",
-     "SMORE", "GUME"],
+     "SMORE", "GUME", "DualGNN", "DRAGON", "COHESION"],
 )
 def test_multimodal_models_learn(tiny_dataset, model_name):
     overrides = {
@@ -83,6 +83,11 @@ def test_multimodal_models_learn(tiny_dataset, model_name):
         "MGCN": dict(reg_weight=1e-4, ssl_alpha=0.01, ssl_temp=0.2),
         "SMORE": dict(reg_weight=1e-5, n_ui_layers=3, ii_topk=5, dropout=0.0),
         "GUME": dict(n_ui_layers=3, n_layers=1, um_loss=0.1, vt_loss=0.01),
+        "DualGNN": dict(reg_weight=0.01, uu_topk=5, feature_embed=16),
+        "DRAGON": dict(reg_weight=0.01, n_layers=2, uu_topk=5, ii_topk=5,
+                       lambda_coeff=0.6, feature_embed=16),
+        "COHESION": dict(reg_weight=1e-3, dropout=0.0, n_layers=1,
+                         mm_layers=1, ii_topk=5, mm_image_weight=0.1),
         # feature_embed must equal dim_E (the reference's modal BPR dots
         # user embeddings against dim_feat-projected features).
         "FREEDOM": dict(reg_weight=1e-3, n_layers=2, mm_layers=1,
