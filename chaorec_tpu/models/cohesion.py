@@ -35,7 +35,7 @@ from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.graphs.user_graph import build_user_cooccurrence, topk_sample
 from chaorec_tpu.models.base import Batch, Params, RecModel
 from chaorec_tpu.ops.init import torch_linear_init, xavier_normal
-from chaorec_tpu.ops.losses import l2norm, masked_mean
+from chaorec_tpu.ops.losses import cosine_rows, l2norm, masked_mean
 
 
 class COHESION(RecModel):
@@ -135,12 +135,8 @@ class COHESION(RecModel):
                 jnp.dot(r, ci, preferred_element_type=jnp.float32),
                 jnp.dot(r.T, cu, preferred_element_type=jnp.float32),
             )
-            wu = jnp.sum(cu * ego_u, 1) / (
-                jnp.linalg.norm(cu, axis=1) * jnp.linalg.norm(ego_u, axis=1) + 1e-8
-            )
-            wi = jnp.sum(ci * ego_i, 1) / (
-                jnp.linalg.norm(ci, axis=1) * jnp.linalg.norm(ego_i, axis=1) + 1e-8
-            )
+            wu = cosine_rows(cu, ego_u)
+            wi = cosine_rows(ci, ego_i)
             cu = wu[:, None] * cu
             ci = wi[:, None] * ci
             acc_u = acc_u + cu

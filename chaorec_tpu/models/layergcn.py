@@ -28,10 +28,9 @@ from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg
 
 
 def _cos_weighted(x, ego):
-    w = jnp.sum(x * ego, axis=1) / (
-        jnp.linalg.norm(x, axis=1) * jnp.linalg.norm(ego, axis=1) + 1e-8
-    )
-    return w[:, None] * x
+    from chaorec_tpu.ops.losses import cosine_rows
+
+    return cosine_rows(x, ego)[:, None] * x
 
 
 class LayerGCN(RecModel):

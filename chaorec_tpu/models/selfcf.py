@@ -105,9 +105,9 @@ class SelfCF(RecModel):
         i_p = self._predict(params, i_online)
 
         def neg_cos(p, z):
-            p = p / (jnp.linalg.norm(p, axis=1, keepdims=True) + 1e-12)
-            z = z / (jnp.linalg.norm(z, axis=1, keepdims=True) + 1e-12)
-            return -masked_mean(jnp.sum(p * z, axis=1), w)
+            from chaorec_tpu.ops.losses import l2norm
+
+            return -masked_mean(jnp.sum(l2norm(p) * l2norm(z), axis=1), w)
 
         loss_ui = neg_cos(u_p, i_target) / 2
         loss_iu = neg_cos(i_p, u_target) / 2

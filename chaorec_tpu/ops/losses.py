@@ -28,6 +28,17 @@ def l2norm(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
 
 
+def safe_norm(x: jnp.ndarray, axis=-1, eps: float = 1e-12) -> jnp.ndarray:
+    """Row norms with a finite gradient at zero rows (sqrt(sum^2 + eps))."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + eps)
+
+
+def cosine_rows(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Row-wise cosine similarity, zero-row safe (reference uses
+    F.cosine_similarity whose eps clamps denominators)."""
+    return jnp.sum(a * b, axis=-1) / (safe_norm(a) * safe_norm(b) + eps)
+
+
 def masked_mean(x: jnp.ndarray, weights: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Mean over valid entries; ``weights`` in {0,1}, None = all valid."""
     if weights is None:
