@@ -50,20 +50,22 @@ def _rank_chunk(
     return idx.astype(jnp.int32) + num_user
 
 
-@partial(jax.jit, static_argnames=("topk", "num_user"))
+@partial(jax.jit, static_argnames=("topk", "num_user", "mask_value"))
 def mask_and_topk(
     scores: jnp.ndarray,  # (C, I) raw scores
     hist_chunk: jnp.ndarray,  # (C, H)
     topk: int,
     num_user: int,
+    mask_value: float = 1e-6,
 ) -> jnp.ndarray:
-    """History-mask (assign 1e-6) + top-k on precomputed score rows; used
-    by score-ranking models (VAE/diffusion, reference eval paths like
-    MultVAE predict / DiffRec p_sample ranking)."""
+    """History-mask + top-k on precomputed score rows; used by
+    score-ranking models. The mask value follows the model's reference
+    eval path: 1e-6 for most (Model/BPR.py:81-83), -inf for DiffRec/CF_Diff
+    (train_and_evaluate.py:598-608)."""
     rows = jnp.broadcast_to(
         jnp.arange(hist_chunk.shape[0], dtype=jnp.int32)[:, None], hist_chunk.shape
     )
-    scores = scores.at[rows, hist_chunk].set(1e-6, mode="drop")
+    scores = scores.at[rows, hist_chunk].set(mask_value, mode="drop")
     _, idx = jax.lax.top_k(scores, topk)
     return idx.astype(jnp.int32) + num_user
 

@@ -17,10 +17,13 @@ from chaorec_tpu.models.bm3 import BM3
 from chaorec_tpu.models.fkan_gcf import FKAN_GCF
 from chaorec_tpu.models.freedom import FREEDOM
 from chaorec_tpu.models.lattice import LATTICE
+from chaorec_tpu.models.lgmrec import LGMRec
+from chaorec_tpu.models.powerec import POWERec
 from chaorec_tpu.models.mgcl import MGCL
 from chaorec_tpu.models.mgcn import MGCN
 from chaorec_tpu.models.micro import MICRO
 from chaorec_tpu.models.cohesion import COHESION
+from chaorec_tpu.models.diffrec import DiffRec
 from chaorec_tpu.models.dragon import DRAGON
 from chaorec_tpu.models.dualgnn import DualGNN
 from chaorec_tpu.models.gume import GUME
@@ -247,6 +250,28 @@ def _mgcn(cfg: Config, ds: RecDataset):
     )
 
 
+@register_model("LGMRec")
+def _lgmrec(cfg: Config, ds: RecDataset):
+    # main.py:342-343: LGMRec(..., dim_E, reg_weight, n_layers, ssl_alpha, device)
+    v, t = _feats(ds)
+    return LGMRec(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.reg_weight, cfg.n_layers, cfg.ssl_alpha,
+    )
+
+
+@register_model("POWERec")
+def _powerec(cfg: Config, ds: RecDataset):
+    # main.py:318-320: POWERec(..., dim_E, reg_weight, n_layers, prompt_num,
+    #   neg_weight, dropout, device)
+    v, t = _feats(ds)
+    return POWERec(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.reg_weight, cfg.n_layers, cfg.prompt_num,
+        cfg.neg_weight, cfg.dropout,
+    )
+
+
 @register_model("DualGNN")
 def _dualgnn(cfg: Config, ds: RecDataset):
     # main.py:280-281: DualGNN(..., dim_E, feature_embedding, reg_weight,
@@ -374,6 +399,20 @@ def _bspm(cfg: Config, ds: RecDataset):
         ds.num_user, ds.num_item, graph.dense_r, jnp.asarray(di),
         cfg.K_s, cfg.T_s, cfg.K_b, cfg.K_s, cfg.idl_beta,
         jax.random.PRNGKey(cfg.seed + 11),
+    )
+
+
+@register_model("DiffRec")
+def _diffrec(cfg: Config, ds: RecDataset):
+    # main.py:370-371: DiffRec(num_user, num_item, dict, noise_scale,
+    #   noise_min, noise_max, steps, dims, learning_rate, device)
+    import jax.numpy as jnp
+
+    from chaorec_tpu.data.loading import dense_interactions
+
+    return DiffRec(
+        ds.num_user, ds.num_item, jnp.asarray(dense_interactions(ds)),
+        cfg.noise_scale, cfg.noise_min, cfg.noise_max, cfg.steps, cfg.dims,
     )
 
 

@@ -113,6 +113,16 @@ class Trainer:
         optimizer = self.optimizer
 
         stateful = self.model.stateful
+        # "user_rows" models (VAE/diffusion) iterate shuffled users; the
+        # reference feeds them dense rows via DiffusionData loaders
+        # (main.py:202-218) instead of BPR triples.
+        user_rows = getattr(self.model, "trainer_mode", "bpr") == "user_rows"
+        if user_rows:
+            n_u = self.dataset.num_user
+            self.edges = jnp.stack(
+                [jnp.arange(n_u, dtype=jnp.int32),
+                 jnp.zeros((n_u,), jnp.int32)], axis=1,
+            )
 
         def epoch(model, params, opt_state, mstate, rng, edges, history):
             rng, shuffle_rng = jax.random.split(rng)
@@ -124,9 +134,12 @@ class Trainer:
                 params, opt_state, mstate, rng = carry
                 u, p, w, idx = xs
                 rng, neg_rng, loss_rng = jax.random.split(rng, 3)
-                neg = sample_negatives(
-                    neg_rng, u, history, num_item, cfg.neg_candidates
-                )
+                if user_rows:
+                    neg = p
+                else:
+                    neg = sample_negatives(
+                        neg_rng, u, history, num_item, cfg.neg_candidates
+                    )
                 batch = Batch(u, p, neg, w, idx)
                 if stateful:
                     (loss, mstate), grads = jax.value_and_grad(
@@ -190,13 +203,15 @@ class Trainer:
         n = self.dataset.num_user
         chunk = self.cfg.eval_user_chunk
         topk = min(self.cfg.rank_topk, self.dataset.num_item)
+        mask_value = float(getattr(self.model, "mask_value", 1e-6))
         outs = []
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
             ids = jnp.arange(start, end, dtype=jnp.int32)
             scores = self._score_fn(self.model, params, ids)
             outs.append(
-                mask_and_topk(scores, self.history[start:end], topk, n)
+                mask_and_topk(scores, self.history[start:end], topk, n,
+                              mask_value)
             )
         return jnp.concatenate(outs, axis=0)
 

@@ -67,7 +67,7 @@ def test_structured_models_learn(tiny_dataset, model_name):
 @pytest.mark.parametrize(
     "model_name",
     ["VBPR", "FREEDOM", "BM3", "SLMRec", "MGCL", "LATTICE", "MICRO", "MGCN",
-     "SMORE", "GUME", "DualGNN", "DRAGON", "COHESION"],
+     "SMORE", "GUME", "DualGNN", "DRAGON", "COHESION", "LGMRec", "POWERec"],
 )
 def test_multimodal_models_learn(tiny_dataset, model_name):
     overrides = {
@@ -88,6 +88,9 @@ def test_multimodal_models_learn(tiny_dataset, model_name):
                        lambda_coeff=0.6, feature_embed=16),
         "COHESION": dict(reg_weight=1e-3, dropout=0.0, n_layers=1,
                          mm_layers=1, ii_topk=5, mm_image_weight=0.1),
+        "LGMRec": dict(reg_weight=1e-4, n_layers=3, ssl_alpha=1e-4),
+        "POWERec": dict(reg_weight=0.1, n_layers=4, neg_weight=0.01,
+                        dropout=0.1, prompt_num=2),
         # feature_embed must equal dim_E (the reference's modal BPR dots
         # user embeddings against dim_feat-projected features).
         "FREEDOM": dict(reg_weight=1e-3, n_layers=2, mm_layers=1,
@@ -128,6 +131,13 @@ def test_vae_models_learn(tiny_dataset, model_name):
     best = _run(model_name, tiny_dataset, epochs=30, learning_rate=0.01,
                 reg_weight=0.0)
     assert best[20]["recall"] > 0.5, (model_name, best)
+
+
+def test_diffrec_learns(tiny_dataset):
+    best = _run("DiffRec", tiny_dataset, epochs=40, learning_rate=0.001,
+                noise_scale=0.001, noise_min=0.005, noise_max=0.005,
+                steps=5, dims="[64]")
+    assert best[20]["recall"] > 0.5, best
 
 
 @pytest.mark.parametrize("model_name", ["NCL", "LightGCL", "SelfCF"])
