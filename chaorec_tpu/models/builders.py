@@ -19,7 +19,10 @@ from chaorec_tpu.models.freedom import FREEDOM
 from chaorec_tpu.models.lattice import LATTICE
 from chaorec_tpu.models.lgmrec import LGMRec
 from chaorec_tpu.models.powerec import POWERec
+from chaorec_tpu.models.ddrec import DDRec
+from chaorec_tpu.models.mentor import MENTOR
 from chaorec_tpu.models.mgcl import MGCL
+from chaorec_tpu.models.mmgcl import MMGCL
 from chaorec_tpu.models.mgcn import MGCN
 from chaorec_tpu.models.micro import MICRO
 from chaorec_tpu.models.cohesion import COHESION
@@ -247,6 +250,42 @@ def _mgcn(cfg: Config, ds: RecDataset):
     return MGCN(
         ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
         cfg.dim_E, cfg.reg_weight, cfg.ssl_temp, cfg.ssl_alpha,
+    )
+
+
+@register_model("DDRec")
+def _ddrec(cfg: Config, ds: RecDataset):
+    # main.py:299-301: DDRec(..., dim_E, feature_embedding, reg_weight,
+    #   n_layers, ssl_temp, ssl_alpha, threshold, aggr_mode, device)
+    v, t = _feats(ds)
+    return DDRec(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.feature_embed, cfg.reg_weight, cfg.n_layers,
+        cfg.ssl_temp, cfg.ssl_alpha, cfg.threshold,
+    )
+
+
+@register_model("MMGCL")
+def _mmgcl(cfg: Config, ds: RecDataset):
+    # main.py:297-298: MMGCL(..., dim_E, reg_weight, n_layers, ssl_alpha,
+    #   ssl_temp, dropout, device)
+    v, t = _feats(ds)
+    return MMGCL(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.reg_weight, cfg.n_layers, cfg.ssl_alpha,
+        cfg.ssl_temp, cfg.dropout,
+    )
+
+
+@register_model("MENTOR")
+def _mentor(cfg: Config, ds: RecDataset):
+    # main.py:346-348: MENTOR(..., dim_E, mm_layers, reg_weight, ssl_temp,
+    #   dropout, align_weight, mask_weight_g, mask_weight_f, device)
+    v, t = _feats(ds)
+    return MENTOR(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.mm_layers, cfg.reg_weight, cfg.ssl_temp, cfg.dropout,
+        cfg.align_weight, cfg.mask_weight_g, cfg.mask_weight_f,
     )
 
 

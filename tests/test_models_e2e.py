@@ -67,7 +67,8 @@ def test_structured_models_learn(tiny_dataset, model_name):
 @pytest.mark.parametrize(
     "model_name",
     ["VBPR", "FREEDOM", "BM3", "SLMRec", "MGCL", "LATTICE", "MICRO", "MGCN",
-     "SMORE", "GUME", "DualGNN", "DRAGON", "COHESION", "LGMRec", "POWERec"],
+     "SMORE", "GUME", "DualGNN", "DRAGON", "COHESION", "LGMRec", "POWERec",
+     "DDRec", "MMGCL", "MENTOR"],
 )
 def test_multimodal_models_learn(tiny_dataset, model_name):
     overrides = {
@@ -91,6 +92,13 @@ def test_multimodal_models_learn(tiny_dataset, model_name):
         "LGMRec": dict(reg_weight=1e-4, n_layers=3, ssl_alpha=1e-4),
         "POWERec": dict(reg_weight=0.1, n_layers=4, neg_weight=0.01,
                         dropout=0.1, prompt_num=2),
+        "DDRec": dict(reg_weight=0.1, n_layers=2, ssl_alpha=0.01,
+                      threshold=-10.0, ssl_temp=0.2, feature_embed=16),
+        "MMGCL": dict(reg_weight=1e-3, n_layers=1, ssl_alpha=0.5,
+                      ssl_temp=0.2, dropout=0.1),
+        "MENTOR": dict(reg_weight=1e-3, mm_layers=1, dropout=0.1,
+                       ssl_temp=0.2, align_weight=0.1, mask_weight_g=0.001,
+                       mask_weight_f=1.5),
         # feature_embed must equal dim_E (the reference's modal BPR dots
         # user embeddings against dim_feat-projected features).
         "FREEDOM": dict(reg_weight=1e-3, n_layers=2, mm_layers=1,
