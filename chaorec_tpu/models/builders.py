@@ -29,7 +29,9 @@ from chaorec_tpu.models.cohesion import COHESION
 from chaorec_tpu.models.diffrec import DiffRec
 from chaorec_tpu.models.dragon import DRAGON
 from chaorec_tpu.models.dualgnn import DualGNN
+from chaorec_tpu.models.grcn import GRCN
 from chaorec_tpu.models.gume import GUME
+from chaorec_tpu.models.mgat import MGAT
 from chaorec_tpu.models.slmrec import SLMRec
 from chaorec_tpu.models.smore import SMORE
 from chaorec_tpu.models.vbpr import VBPR
@@ -40,7 +42,9 @@ from chaorec_tpu.models.hccf import HCCF
 from chaorec_tpu.models.layergcn import LayerGCN
 from chaorec_tpu.models.lightgcl import LightGCL
 from chaorec_tpu.models.macridvae import MacridVAE
+from chaorec_tpu.models.mmgcn import MMGCN
 from chaorec_tpu.models.multvae import MultVAE
+from chaorec_tpu.models.vgcl import VGCL
 from chaorec_tpu.models.ncl import NCL
 from chaorec_tpu.models.selfcf import SelfCF
 from chaorec_tpu.models.lightgcn import LightGCN
@@ -250,6 +254,49 @@ def _mgcn(cfg: Config, ds: RecDataset):
     return MGCN(
         ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
         cfg.dim_E, cfg.reg_weight, cfg.ssl_temp, cfg.ssl_alpha,
+    )
+
+
+@register_model("GRCN")
+def _grcn(cfg: Config, ds: RecDataset):
+    # main.py:271-273: GRCN(..., dim_E, feature_embedding, reg_weight,
+    #   dropout, n_iterations, aggr_mode, device)
+    v, t = _feats(ds)
+    return GRCN(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.feature_embed, cfg.reg_weight, cfg.dropout,
+        cfg.n_iterations,
+    )
+
+
+@register_model("MGAT")
+def _mgat(cfg: Config, ds: RecDataset):
+    # main.py:292-293: MGAT(..., dim_E, reg_weight, device)
+    v, t = _feats(ds)
+    return MGAT(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.reg_weight,
+    )
+
+
+@register_model("VGCL")
+def _vgcl(cfg: Config, ds: RecDataset):
+    # main.py:333-334: VGCL(..., dim_E, reg_weight, n_layers, ssl_temp, ssl_alpha, device)
+    return VGCL(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), cfg.dim_E,
+        cfg.reg_weight, cfg.n_layers, cfg.ssl_temp, cfg.ssl_alpha,
+    )
+
+
+@register_model("MMGCN")
+def _mmgcn(cfg: Config, ds: RecDataset):
+    # main.py:261-263: MMGCN(..., dim_E, reg_weight, aggr_mode, 'False', True, device)
+    import jax
+
+    v, t = _feats(ds)
+    return MMGCN(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.reg_weight, jax.random.PRNGKey(cfg.seed + 21),
     )
 
 

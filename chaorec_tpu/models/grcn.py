@@ -1,0 +1,150 @@
+"""GRCN: graph-refined convolutional network.
+
+Reference: Model/GRCN.py. Capabilities reproduced:
+- per-step directed-edge dropout (p=dropout) shared by all branches
+  (Model/GRCN.py:161-168);
+- CGCN content branches: tanh/LReLU-projected features + normalized user
+  preference, GAT attention ``softmax(<x_tgt, x_src>)`` per target on the
+  doubled edges; **routing quirk kept**: the reference's routing loop
+  propagates over the DIRECTED edge list, whose targets are all items, so
+  the user-preference update adds zeros and routing is a no-op — we skip
+  it (Model/GRCN.py:89-121);
+- edge weights: per-modality attention alphas (2E,) stacked, multiplied by
+  node confidences gathered source-first (rows 0..E-1 use the user end,
+  rows E.. the item end), max over modalities, ReLU pruning
+  (Model/GRCN.py:169-230);
+- EGCN id branch: x normalized, two weighted SAGE convs (message =
+  x_src * w_edge, sum aggregation) with LReLU, output x + x1 + x2
+  (Model/GRCN.py:63-87);
+- fusion 'concat': [id_rep || v_rep || t_rep]; pair-format BPR (no eps)
+  + reg on id table + preferences at batch rows (Model/GRCN.py:232-260);
+- ranking uses the result of the last forward (dropped edges), like the
+  reference's gene_ranklist-on-self.result.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from chaorec_tpu.graphs.norm_adj import BipartiteGraph
+from chaorec_tpu.models.base import Batch, Params, RecModel
+from chaorec_tpu.ops.edge_softmax import segment_softmax
+from chaorec_tpu.ops.init import torch_linear_init, xavier_normal
+from chaorec_tpu.ops.losses import l2norm, masked_mean
+
+
+class GRCN(RecModel):
+    name = "GRCN"
+
+    def __init__(self, num_user, num_item, graph: BipartiteGraph, v_feat,
+                 t_feat, dim_E, dim_C, reg_weight, dropout, num_routing):
+        super().__init__(num_user, num_item)
+        self.graph = graph
+        self.dim_E = dim_E
+        self.dim_C = dim_C
+        self.reg_weight = reg_weight
+        self.dropout = dropout
+        self.v_feat = v_feat
+        self.t_feat = t_feat
+        g = graph
+        self.e_u = g.u_by_u  # (E,) directed user end
+        self.e_i = g.i_by_u  # (E,) directed item end (0-based)
+        self.n_nodes = num_user + num_item
+
+    def init_params(self, rng: jax.Array) -> Params:
+        ks = jax.random.split(rng, 6)
+        p = {
+            "id_embedding": xavier_normal(ks[0], (self.n_nodes, self.dim_E)),
+            "model_specific_conf": xavier_normal(ks[1], (self.n_nodes, 2)),
+            "v_preference": xavier_normal(ks[2], (self.num_user, self.dim_C)),
+            "t_preference": xavier_normal(ks[3], (self.num_user, self.dim_C)),
+        }
+        for mod, k, feat in (("v", ks[4], self.v_feat), ("t", ks[5], self.t_feat)):
+            w, b = torch_linear_init(k, self.dim_C, feat.shape[1])
+            p[f"{mod}_mlp_w"], p[f"{mod}_mlp_b"] = w, b
+        return p
+
+    def _cgcn(self, params, mod, feat, keep):
+        """Returns (rep (N, dim_C), alpha (2E,)) on the dropped graph."""
+        f = jax.nn.leaky_relu(
+            feat @ params[f"{mod}_mlp_w"].T + params[f"{mod}_mlp_b"], 0.01
+        )
+        pref = l2norm(params[f"{mod}_preference"])
+        f = l2norm(f)
+        x = jnp.concatenate([pref, f], axis=0)
+        src = jnp.concatenate([self.e_u, self.e_i + self.num_user])
+        dst = jnp.concatenate([self.e_i + self.num_user, self.e_u])
+        keep2 = jnp.concatenate([keep, keep])
+        inner = jnp.sum(x[dst] * x[src], axis=1)
+        inner = jnp.where(keep2 > 0, inner, -jnp.inf)
+        alpha = segment_softmax(inner, dst, self.n_nodes)
+        alpha = jnp.where(keep2 > 0, alpha, 0.0)
+        out = jax.ops.segment_sum(alpha[:, None] * x[src], dst,
+                                  num_segments=self.n_nodes)
+        return x + jax.nn.leaky_relu(out, 0.01), alpha
+
+    def forward(self, params: Params, rng=None):
+        e = self.e_u.shape[0]
+        if rng is not None and self.dropout > 0:
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, (e,)).astype(
+                jnp.float32
+            )
+        else:
+            keep = jnp.ones((e,), jnp.float32)
+
+        v_rep, alpha_v = self._cgcn(params, "v", self.v_feat, keep)
+        t_rep, alpha_t = self._cgcn(params, "t", self.t_feat, keep)
+        weight = jnp.stack([alpha_v, alpha_t], axis=1)  # (2E, 2)
+        conf = jnp.concatenate(
+            [params["model_specific_conf"][self.e_u],
+             params["model_specific_conf"][self.e_i + self.num_user]], axis=0,
+        )  # (2E, 2)
+        w_edge = jnp.max(weight * conf, axis=1)
+        w_edge = jax.nn.relu(w_edge)  # pruning
+        keep2 = jnp.concatenate([keep, keep])
+        w_edge = w_edge * keep2
+
+        # EGCN id branch: weighted sum aggregation over doubled edges
+        src = jnp.concatenate([self.e_u, self.e_i + self.num_user])
+        dst = jnp.concatenate([self.e_i + self.num_user, self.e_u])
+        x = l2norm(params["id_embedding"])
+
+        def conv(z):
+            return jax.ops.segment_sum(
+                w_edge[:, None] * z[src], dst, num_segments=self.n_nodes
+            )
+
+        x1 = jax.nn.leaky_relu(conv(x), 0.01)
+        x2 = jax.nn.leaky_relu(conv(x1), 0.01)
+        id_rep = x + x1 + x2
+        rep = jnp.concatenate([id_rep, v_rep, t_rep], axis=1)
+        return rep[: self.num_user], rep[self.num_user:]
+
+    def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:
+        fu, fi = self.forward(params, rng)
+        u = fu[batch.users]
+        pos = fi[batch.pos_items]
+        neg = fi[batch.neg_items]
+        w = batch.weights
+        bpr = -masked_mean(
+            jnp.log(jax.nn.sigmoid(jnp.sum(u * pos, 1) - jnp.sum(u * neg, 1))
+                    + 1e-12), w,
+        )
+        idt = params["id_embedding"]
+        reg = self.reg_weight * (
+            masked_mean(jnp.mean(
+                idt[batch.users] ** 2
+                + idt[self.num_user + batch.pos_items] ** 2, 1), w)
+            + masked_mean(jnp.mean(
+                idt[batch.users] ** 2
+                + idt[self.num_user + batch.neg_items] ** 2, 1), w)
+        ) / 2.0
+        reg = reg + self.reg_weight * (
+            masked_mean(jnp.mean(params["v_preference"][batch.users] ** 2, 1), w)
+            + masked_mean(jnp.mean(params["t_preference"][batch.users] ** 2, 1), w)
+        )
+        return bpr + reg
+
+    def embeddings(self, params: Params):
+        return self.forward(params)

@@ -68,7 +68,7 @@ def test_structured_models_learn(tiny_dataset, model_name):
     "model_name",
     ["VBPR", "FREEDOM", "BM3", "SLMRec", "MGCL", "LATTICE", "MICRO", "MGCN",
      "SMORE", "GUME", "DualGNN", "DRAGON", "COHESION", "LGMRec", "POWERec",
-     "DDRec", "MMGCL", "MENTOR"],
+     "DDRec", "MMGCL", "MENTOR", "MMGCN", "GRCN", "MGAT"],
 )
 def test_multimodal_models_learn(tiny_dataset, model_name):
     overrides = {
@@ -99,6 +99,10 @@ def test_multimodal_models_learn(tiny_dataset, model_name):
         "MENTOR": dict(reg_weight=1e-3, mm_layers=1, dropout=0.1,
                        ssl_temp=0.2, align_weight=0.1, mask_weight_g=0.001,
                        mask_weight_f=1.5),
+        "MMGCN": dict(reg_weight=1e-4, learning_rate=0.01),
+        "GRCN": dict(reg_weight=1e-3, dropout=0.1, n_iterations=2,
+                     feature_embed=16),
+        "MGAT": dict(reg_weight=1e-4, learning_rate=0.01),
         # feature_embed must equal dim_E (the reference's modal BPR dots
         # user embeddings against dim_feat-projected features).
         "FREEDOM": dict(reg_weight=1e-3, n_layers=2, mm_layers=1,
@@ -148,7 +152,7 @@ def test_diffrec_learns(tiny_dataset):
     assert best[20]["recall"] > 0.5, best
 
 
-@pytest.mark.parametrize("model_name", ["NCL", "LightGCL", "SelfCF"])
+@pytest.mark.parametrize("model_name", ["NCL", "LightGCL", "SelfCF", "VGCL"])
 def test_contrastive_models_learn(tiny_dataset, model_name):
     # NCL/LightGCL full-catalog nce terms are summed -> small alphas, as in
     # their reference grids (ssl_alpha 1e-5 / 1e-2).
@@ -156,6 +160,7 @@ def test_contrastive_models_learn(tiny_dataset, model_name):
         "NCL": dict(ssl_alpha=1e-5, ssl_temp=0.1, reg_weight=1e-5),
         "LightGCL": dict(ssl_alpha=0.01, ssl_temp=0.1, reg_weight=1e-7),
         "SelfCF": dict(dropout=0.5, reg_weight=1e-4),
+        "VGCL": dict(ssl_alpha=0.01, ssl_temp=0.2, reg_weight=1e-4),
     }[model_name]
     best = _run(model_name, tiny_dataset, epochs=20, **overrides)
     assert best[20]["recall"] > 0.5, (model_name, best)
