@@ -53,6 +53,9 @@ class Batch(NamedTuple):
     neg_items: jnp.ndarray  # (B,) int32, 0-based
     weights: jnp.ndarray  # (B,) float32
     index: Any = None  # scalar int32 batch index within the epoch
+    # Second independent uniform negative ("interest" items) for MCLN
+    # (dataload.py:81-84,103-104); sampled when model.needs_int_items.
+    int_items: Any = None
 
 
 class RecModel:

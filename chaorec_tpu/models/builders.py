@@ -29,7 +29,9 @@ from chaorec_tpu.models.cohesion import COHESION
 from chaorec_tpu.models.diffrec import DiffRec
 from chaorec_tpu.models.dragon import DRAGON
 from chaorec_tpu.models.dualgnn import DualGNN
+from chaorec_tpu.models.graphaug import GraphAug
 from chaorec_tpu.models.grcn import GRCN
+from chaorec_tpu.models.mcln import MCLN
 from chaorec_tpu.models.gume import GUME
 from chaorec_tpu.models.mgat import MGAT
 from chaorec_tpu.models.slmrec import SLMRec
@@ -43,7 +45,9 @@ from chaorec_tpu.models.layergcn import LayerGCN
 from chaorec_tpu.models.lightgcl import LightGCL
 from chaorec_tpu.models.macridvae import MacridVAE
 from chaorec_tpu.models.mmgcn import MMGCN
+from chaorec_tpu.models.dualvae import DualVAE
 from chaorec_tpu.models.multvae import MultVAE
+from chaorec_tpu.models.mvgae import MVGAE
 from chaorec_tpu.models.vgcl import VGCL
 from chaorec_tpu.models.ncl import NCL
 from chaorec_tpu.models.selfcf import SelfCF
@@ -254,6 +258,52 @@ def _mgcn(cfg: Config, ds: RecDataset):
     return MGCN(
         ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
         cfg.dim_E, cfg.reg_weight, cfg.ssl_temp, cfg.ssl_alpha,
+    )
+
+
+@register_model("DualVAE")
+def _dualvae(cfg: Config, ds: RecDataset):
+    # main.py:329-330: DualVAE(..., dim_E, reg_weight(->kl_weight),
+    #   ssl_alpha(->ssl_reg), device)
+    import jax.numpy as jnp
+
+    from chaorec_tpu.data.loading import dense_interactions
+
+    return DualVAE(
+        ds.num_user, ds.num_item, jnp.asarray(dense_interactions(ds)),
+        cfg.reg_weight, cfg.ssl_alpha,
+    )
+
+
+@register_model("MVGAE")
+def _mvgae(cfg: Config, ds: RecDataset):
+    # main.py:321-322: MVGAE(..., dim_E, reg_weight, n_layers, device)
+    import jax
+
+    v, t = _feats(ds)
+    return MVGAE(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.reg_weight, cfg.n_layers,
+        jax.random.PRNGKey(cfg.seed + 31),
+    )
+
+
+@register_model("MCLN")
+def _mcln(cfg: Config, ds: RecDataset):
+    # main.py:354-355: MCLN(..., dim_E, reg_weight, n_layers, n_mca, device)
+    v, t = _feats(ds)
+    return MCLN(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.reg_weight, cfg.n_layers, cfg.n_mca,
+    )
+
+
+@register_model("GraphAug")
+def _graphaug(cfg: Config, ds: RecDataset):
+    # main.py:339-341: GraphAug(..., dim_E, reg_weight, n_layers, ssl_temp, ssl_alpha, device)
+    return GraphAug(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), cfg.dim_E,
+        cfg.reg_weight, cfg.n_layers, cfg.ssl_temp, cfg.ssl_alpha,
     )
 
 

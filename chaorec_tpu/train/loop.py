@@ -133,14 +133,19 @@ class Trainer:
             def step(carry, xs):
                 params, opt_state, mstate, rng = carry
                 u, p, w, idx = xs
-                rng, neg_rng, loss_rng = jax.random.split(rng, 3)
+                rng, neg_rng, int_rng, loss_rng = jax.random.split(rng, 4)
                 if user_rows:
                     neg = p
                 else:
                     neg = sample_negatives(
                         neg_rng, u, history, num_item, cfg.neg_candidates
                     )
-                batch = Batch(u, p, neg, w, idx)
+                int_items = None
+                if getattr(model, "needs_int_items", False):
+                    int_items = sample_negatives(
+                        int_rng, u, history, num_item, cfg.neg_candidates
+                    )
+                batch = Batch(u, p, neg, w, idx, int_items)
                 if stateful:
                     (loss, mstate), grads = jax.value_and_grad(
                         model.loss_stateful, has_aux=True
@@ -199,7 +204,16 @@ class Trainer:
         from chaorec_tpu.eval.ranking import mask_and_topk
 
         if not hasattr(self, "_score_fn"):
-            self._score_fn = jax.jit(lambda m, p, ids: m.score_users(p, ids))
+            if self.model.stateful and hasattr(self.model, "score_users_stateful"):
+                self._score_fn = jax.jit(
+                    lambda m, p, s, ids: m.score_users_stateful(p, s, ids)
+                )
+                self._score_takes_state = True
+            else:
+                self._score_fn = jax.jit(
+                    lambda m, p, s, ids: m.score_users(p, ids)
+                )
+                self._score_takes_state = False
         n = self.dataset.num_user
         chunk = self.cfg.eval_user_chunk
         topk = min(self.cfg.rank_topk, self.dataset.num_item)
@@ -208,7 +222,7 @@ class Trainer:
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
             ids = jnp.arange(start, end, dtype=jnp.int32)
-            scores = self._score_fn(self.model, params, ids)
+            scores = self._score_fn(self.model, params, self.model_state, ids)
             outs.append(
                 mask_and_topk(scores, self.history[start:end], topk, n,
                               mask_value)

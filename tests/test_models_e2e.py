@@ -50,6 +50,12 @@ def test_graph_ssl_models_learn(tiny_dataset, model_name):
     assert best[20]["recall"] > 0.5, (model_name, best)
 
 
+def test_graphaug_learns(tiny_dataset):
+    best = _run("GraphAug", tiny_dataset, epochs=15, ssl_alpha=0.01,
+                ssl_temp=0.2, reg_weight=1e-3, n_layers=2)
+    assert best[20]["recall"] > 0.5, best
+
+
 @pytest.mark.parametrize("model_name", ["HCCF", "DCCF", "DGCF", "DHCF"])
 def test_structured_models_learn(tiny_dataset, model_name):
     overrides = {
@@ -68,7 +74,7 @@ def test_structured_models_learn(tiny_dataset, model_name):
     "model_name",
     ["VBPR", "FREEDOM", "BM3", "SLMRec", "MGCL", "LATTICE", "MICRO", "MGCN",
      "SMORE", "GUME", "DualGNN", "DRAGON", "COHESION", "LGMRec", "POWERec",
-     "DDRec", "MMGCL", "MENTOR", "MMGCN", "GRCN", "MGAT"],
+     "DDRec", "MMGCL", "MENTOR", "MMGCN", "GRCN", "MGAT", "MCLN"],
 )
 def test_multimodal_models_learn(tiny_dataset, model_name):
     overrides = {
@@ -103,6 +109,7 @@ def test_multimodal_models_learn(tiny_dataset, model_name):
         "GRCN": dict(reg_weight=1e-3, dropout=0.1, n_iterations=2,
                      feature_embed=16),
         "MGAT": dict(reg_weight=1e-4, learning_rate=0.01),
+        "MCLN": dict(reg_weight=1e-7, n_layers=2, n_mca=2),
         # feature_embed must equal dim_E (the reference's modal BPR dots
         # user embeddings against dim_feat-projected features).
         "FREEDOM": dict(reg_weight=1e-3, n_layers=2, mm_layers=1,
@@ -143,6 +150,18 @@ def test_vae_models_learn(tiny_dataset, model_name):
     best = _run(model_name, tiny_dataset, epochs=30, learning_rate=0.01,
                 reg_weight=0.0)
     assert best[20]["recall"] > 0.5, (model_name, best)
+
+
+def test_dualvae_learns(tiny_dataset):
+    best = _run("DualVAE", tiny_dataset, epochs=40, learning_rate=0.005,
+                reg_weight=0.5, ssl_alpha=0.01)
+    assert best[20]["recall"] > 0.5, best
+
+
+def test_mvgae_learns(tiny_dataset):
+    best = _run("MVGAE", tiny_dataset, epochs=20, learning_rate=0.01,
+                reg_weight=0.1, n_layers=2, feature_embed=16)
+    assert best[20]["recall"] > 0.5, best
 
 
 def test_diffrec_learns(tiny_dataset):
