@@ -10,6 +10,7 @@ from chaorec_tpu.config import Config
 from chaorec_tpu.data.loading import RecDataset
 from chaorec_tpu.graphs.norm_adj import build_norm_adj
 from chaorec_tpu.models import register_model
+from chaorec_tpu.models.adagcl import AdaGCL
 from chaorec_tpu.models.bpr import BPRMF
 from chaorec_tpu.models.bspm import BSPM
 from chaorec_tpu.models.dccf import DCCF
@@ -29,6 +30,7 @@ from chaorec_tpu.models.cohesion import COHESION
 from chaorec_tpu.models.diffrec import DiffRec
 from chaorec_tpu.models.dragon import DRAGON
 from chaorec_tpu.models.dualgnn import DualGNN
+from chaorec_tpu.models.grade import Grade
 from chaorec_tpu.models.graphaug import GraphAug
 from chaorec_tpu.models.grcn import GRCN
 from chaorec_tpu.models.mcln import MCLN
@@ -45,6 +47,7 @@ from chaorec_tpu.models.layergcn import LayerGCN
 from chaorec_tpu.models.lightgcl import LightGCL
 from chaorec_tpu.models.macridvae import MacridVAE
 from chaorec_tpu.models.mmgcn import MMGCN
+from chaorec_tpu.models.mmssl import MMSSL
 from chaorec_tpu.models.dualvae import DualVAE
 from chaorec_tpu.models.multvae import MultVAE
 from chaorec_tpu.models.mvgae import MVGAE
@@ -261,6 +264,35 @@ def _mgcn(cfg: Config, ds: RecDataset):
     )
 
 
+@register_model("AdaGCL")
+def _adagcl(cfg: Config, ds: RecDataset):
+    # main.py:327-328: AdaGCL(..., dim_E, reg_weight, n_layers, ssl_temp, ssl_alpha, device)
+    import jax
+
+    return AdaGCL(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), cfg.dim_E,
+        cfg.reg_weight, cfg.n_layers, cfg.ssl_temp, cfg.ssl_alpha,
+        jax.random.PRNGKey(cfg.seed + 41),
+    )
+
+
+@register_model("MMSSL")
+def _mmssl(cfg: Config, ds: RecDataset):
+    # main.py:331-332: MMSSL(..., dim_E, reg_weight, ssl_alpha, ssl_temp,
+    #   G_rate, mm_layers, device)
+    import jax.numpy as jnp
+
+    from chaorec_tpu.data.loading import dense_interactions
+
+    v, t = _feats(ds)
+    return MMSSL(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds),
+        jnp.asarray(dense_interactions(ds)), v, t,
+        cfg.dim_E, cfg.reg_weight, cfg.ssl_alpha, cfg.ssl_temp,
+        cfg.G_rate, cfg.mm_layers, batch_size=cfg.batch_size,
+    )
+
+
 @register_model("DualVAE")
 def _dualvae(cfg: Config, ds: RecDataset):
     # main.py:329-330: DualVAE(..., dim_E, reg_weight(->kl_weight),
@@ -295,6 +327,18 @@ def _mcln(cfg: Config, ds: RecDataset):
     return MCLN(
         ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
         cfg.dim_E, cfg.reg_weight, cfg.n_layers, cfg.n_mca,
+    )
+
+
+@register_model("Grade")
+def _grade(cfg: Config, ds: RecDataset):
+    # main.py:365-367: Grade(..., dim_E, reg_weight, n_layers, ssl_temp,
+    #   ssl_alpha, ssl_temp2, noise_alpha, device)
+    v, t = _feats(ds)
+    return Grade(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        cfg.dim_E, cfg.reg_weight, cfg.n_layers, cfg.ssl_temp,
+        cfg.ssl_alpha, cfg.ssl_temp2, cfg.noise_alpha,
     )
 
 

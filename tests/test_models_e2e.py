@@ -20,9 +20,10 @@ def _run(model_name, tiny_dataset, epochs=30, **overrides):
         topk=(5, 10, 20),
         patience=epochs,
     ).replace(**overrides)
+    from chaorec_tpu.train.loop import train_and_evaluate
+
     model = build_model(cfg, tiny_dataset)
-    trainer = Trainer(model, tiny_dataset, cfg)
-    return trainer.run()
+    return train_and_evaluate(model, tiny_dataset, cfg)
 
 
 @pytest.mark.parametrize("model_name", ["BPR", "LightGCN"])
@@ -150,6 +151,26 @@ def test_vae_models_learn(tiny_dataset, model_name):
     best = _run(model_name, tiny_dataset, epochs=30, learning_rate=0.01,
                 reg_weight=0.0)
     assert best[20]["recall"] > 0.5, (model_name, best)
+
+
+def test_grade_learns(tiny_dataset):
+    best = _run("Grade", tiny_dataset, epochs=15, learning_rate=0.05,
+                reg_weight=0.01, ssl_alpha=0.02, ssl_temp=0.3,
+                ssl_temp2=0.3, noise_alpha=0.02, n_layers=2)
+    assert best[20]["recall"] > 0.5, best
+
+
+def test_adagcl_learns(tiny_dataset):
+    best = _run("AdaGCL", tiny_dataset, epochs=15, learning_rate=0.05,
+                reg_weight=1e-3, ssl_alpha=0.01, ssl_temp=0.5, n_layers=2)
+    assert best[20]["recall"] > 0.5, best
+
+
+def test_mmssl_learns(tiny_dataset):
+    best = _run("MMSSL", tiny_dataset, epochs=20, learning_rate=0.005,
+                reg_weight=1e-5, ssl_alpha=0.1, ssl_temp=0.5, G_rate=1e-4,
+                mm_layers=2)
+    assert best[20]["recall"] > 0.5, best
 
 
 def test_dualvae_learns(tiny_dataset):
