@@ -27,6 +27,7 @@ from chaorec_tpu.models.mmgcl import MMGCL
 from chaorec_tpu.models.mgcn import MGCN
 from chaorec_tpu.models.micro import MICRO
 from chaorec_tpu.models.cohesion import COHESION
+from chaorec_tpu.models.diffmm import DiffMM
 from chaorec_tpu.models.diffrec import DiffRec
 from chaorec_tpu.models.dragon import DRAGON
 from chaorec_tpu.models.dualgnn import DualGNN
@@ -593,6 +594,24 @@ def _diffrec(cfg: Config, ds: RecDataset):
     return DiffRec(
         ds.num_user, ds.num_item, jnp.asarray(dense_interactions(ds)),
         cfg.noise_scale, cfg.noise_min, cfg.noise_max, cfg.steps, cfg.dims,
+    )
+
+
+@register_model("DiffMM")
+def _diffmm(cfg: Config, ds: RecDataset):
+    # main.py:360-362: DiffMM(num_user, num_item, train_data, dict, v_feat,
+    #   t_feat, dim_E, reg_weight, n_layers, ssl_alpha, ssl_temp,
+    #   ris_lambda, e_loss, rebuild_k, device)
+    import jax.numpy as jnp
+
+    from chaorec_tpu.data.loading import dense_interactions
+
+    v, t = _feats(ds)
+    return DiffMM(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds),
+        jnp.asarray(dense_interactions(ds)), v, t, cfg.dim_E,
+        cfg.reg_weight, cfg.n_layers, cfg.ssl_alpha, cfg.ssl_temp,
+        cfg.ris_lambda, cfg.e_loss, cfg.rebuild_k,
     )
 
 

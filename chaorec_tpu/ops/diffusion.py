@@ -56,12 +56,15 @@ class DiffusionSchedule:
 
 
 def make_schedule(noise_scale: float, noise_min: float, noise_max: float,
-                  steps: int, beta_fixed: bool = True) -> DiffusionSchedule:
+                  steps: int, beta_fixed: bool = True,
+                  beta_fixed_value: float = 1e-5) -> DiffusionSchedule:
+    """``beta_fixed_value``: 1e-5 for DiffRec (Model/DiffRec.py:150) but
+    1e-4 for DiffMM (Model/DiffMM.py:495)."""
     start = noise_scale * noise_min
     end = noise_scale * noise_max
     betas = np.linspace(start, end, steps, dtype=np.float64)
     if beta_fixed:
-        betas[0] = 0.00001  # Model/DiffRec.py:150
+        betas[0] = beta_fixed_value
     alphas = 1.0 - betas
     acp = np.cumprod(alphas)
     acp_prev = np.concatenate([[1.0], acp[:-1]])

@@ -185,6 +185,14 @@ def test_mvgae_learns(tiny_dataset):
     assert best[20]["recall"] > 0.5, best
 
 
+def test_diffmm_learns(tiny_dataset):
+    # mild noise + small cl/e terms so the BPR phase dominates on 64 users
+    best = _run("DiffMM", tiny_dataset, epochs=15, learning_rate=0.05,
+                n_layers=1, ssl_alpha=1e-3, ssl_temp=0.1, ris_lambda=0.5,
+                e_loss=0.01, rebuild_k=1, reg_weight=1e-4)
+    assert best[20]["recall"] > 0.5, best
+
+
 def test_diffrec_learns(tiny_dataset):
     best = _run("DiffRec", tiny_dataset, epochs=40, learning_rate=0.001,
                 noise_scale=0.001, noise_min=0.005, noise_max=0.005,
