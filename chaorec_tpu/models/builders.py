@@ -27,6 +27,7 @@ from chaorec_tpu.models.mmgcl import MMGCL
 from chaorec_tpu.models.mgcn import MGCN
 from chaorec_tpu.models.micro import MICRO
 from chaorec_tpu.models.cohesion import COHESION
+from chaorec_tpu.models.cf_diff import CF_Diff
 from chaorec_tpu.models.diffmm import DiffMM
 from chaorec_tpu.models.diffrec import DiffRec
 from chaorec_tpu.models.dragon import DRAGON
@@ -594,6 +595,21 @@ def _diffrec(cfg: Config, ds: RecDataset):
     return DiffRec(
         ds.num_user, ds.num_item, jnp.asarray(dense_interactions(ds)),
         cfg.noise_scale, cfg.noise_min, cfg.noise_max, cfg.steps, cfg.dims,
+    )
+
+
+@register_model("CF_Diff")
+def _cf_diff(cfg: Config, ds: RecDataset):
+    # main.py:372-373: CF_Diff(num_user, num_item, dict, noise_scale,
+    #   noise_min, noise_max, steps, learning_rate, device). ``dims`` is in
+    #   the grid but unused by CAM_AE (reference quirk).
+    import jax.numpy as jnp
+
+    from chaorec_tpu.data.loading import dense_interactions
+
+    return CF_Diff(
+        ds.num_user, ds.num_item, jnp.asarray(dense_interactions(ds)),
+        cfg.noise_scale, cfg.noise_min, cfg.noise_max, cfg.steps,
     )
 
 

@@ -193,6 +193,17 @@ def test_diffmm_learns(tiny_dataset):
     assert best[20]["recall"] > 0.5, best
 
 
+def test_cf_diff_learns(tiny_dataset, monkeypatch):
+    # the 1024-token inner width (reference-fixed) makes the 1034^2
+    # attention masks dominate CPU time; shrink it for the behavioral test
+    from chaorec_tpu.models.cf_diff import CF_Diff
+
+    monkeypatch.setattr(CF_Diff, "dim_inters", 64)
+    best = _run("CF_Diff", tiny_dataset, epochs=30, learning_rate=0.001,
+                noise_scale=0.001, noise_min=0.005, noise_max=0.005, steps=5)
+    assert best[20]["recall"] > 0.5, best
+
+
 def test_diffrec_learns(tiny_dataset):
     best = _run("DiffRec", tiny_dataset, epochs=40, learning_rate=0.001,
                 noise_scale=0.001, noise_min=0.005, noise_max=0.005,
