@@ -28,6 +28,7 @@ from chaorec_tpu.models.mgcn import MGCN
 from chaorec_tpu.models.micro import MICRO
 from chaorec_tpu.models.cohesion import COHESION
 from chaorec_tpu.models.cf_diff import CF_Diff
+from chaorec_tpu.models.lightgt import LightGT
 from chaorec_tpu.models.diffmm import DiffMM
 from chaorec_tpu.models.diffrec import DiffRec
 from chaorec_tpu.models.dragon import DRAGON
@@ -595,6 +596,20 @@ def _diffrec(cfg: Config, ds: RecDataset):
     return DiffRec(
         ds.num_user, ds.num_item, jnp.asarray(dense_interactions(ds)),
         cfg.noise_scale, cfg.noise_min, cfg.noise_max, cfg.steps, cfg.dims,
+    )
+
+
+@register_model("LightGT")
+def _lightgt(cfg: Config, ds: RecDataset):
+    # main.py:349-350: LightGT(num_user, num_item, train_data, dict,
+    #   v_feat, t_feat, dim_E, reg_weight, n_layers, device)
+    import jax.numpy as jnp
+
+    v, t = _feats(ds)
+    return LightGT(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds),
+        jnp.asarray(ds.history.values), v, t, cfg.dim_E, cfg.reg_weight,
+        cfg.n_layers, seed=cfg.seed,
     )
 
 

@@ -193,6 +193,12 @@ def test_diffmm_learns(tiny_dataset):
     assert best[20]["recall"] > 0.5, best
 
 
+def test_lightgt_learns(tiny_dataset):
+    best = _run("LightGT", tiny_dataset, epochs=20, learning_rate=0.01,
+                reg_weight=1e-3, n_layers=2)
+    assert best[20]["recall"] > 0.5, best
+
+
 def test_cf_diff_learns(tiny_dataset, monkeypatch):
     # the 1024-token inner width (reference-fixed) makes the 1034^2
     # attention masks dominate CPU time; shrink it for the behavioral test
