@@ -28,6 +28,7 @@ from chaorec_tpu.models.mgcn import MGCN
 from chaorec_tpu.models.micro import MICRO
 from chaorec_tpu.models.cohesion import COHESION
 from chaorec_tpu.models.cf_diff import CF_Diff
+from chaorec_tpu.models.gformer import GFormer
 from chaorec_tpu.models.lightgt import LightGT
 from chaorec_tpu.models.diffmm import DiffMM
 from chaorec_tpu.models.diffrec import DiffRec
@@ -596,6 +597,18 @@ def _diffrec(cfg: Config, ds: RecDataset):
     return DiffRec(
         ds.num_user, ds.num_item, jnp.asarray(dense_interactions(ds)),
         cfg.noise_scale, cfg.noise_min, cfg.noise_max, cfg.steps, cfg.dims,
+    )
+
+
+@register_model("GFormer")
+def _gformer(cfg: Config, ds: RecDataset):
+    # main.py:363-364: GFormer(num_user, num_item, train_data, dict, dim_E,
+    #   reg_weight, n_layers, pnn_layer, *ssl_alpha* (-> ssl_reg slot), b2,
+    #   ctra, device)
+    return GFormer(
+        ds.num_user, ds.num_item, ds.train_edges, cfg.dim_E, cfg.reg_weight,
+        cfg.n_layers, cfg.pnn_layer, cfg.ssl_alpha, cfg.b2, cfg.ctra,
+        seed=cfg.seed,
     )
 
 

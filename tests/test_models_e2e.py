@@ -193,6 +193,14 @@ def test_diffmm_learns(tiny_dataset):
     assert best[20]["recall"] > 0.5, best
 
 
+def test_gformer_learns(tiny_dataset):
+    # small ssl/ctra so the planted-block BPR signal dominates on 64 users
+    best = _run("GFormer", tiny_dataset, epochs=15, learning_rate=0.05,
+                reg_weight=1e-4, n_layers=2, pnn_layer=1, ssl_alpha=1e-4,
+                b2=0.01, ctra=1e-4)
+    assert best[20]["recall"] > 0.5, best
+
+
 def test_lightgt_learns(tiny_dataset):
     best = _run("LightGT", tiny_dataset, epochs=20, learning_rate=0.01,
                 reg_weight=1e-3, n_layers=2)
