@@ -62,6 +62,20 @@ def run(cfg: Config, yaml_cfg: Optional[Dict] = None) -> Dict:
     best_params = None
     best_metrics = None
 
+    # Grid cursor (capability add, SURVEY §5): with checkpointing enabled,
+    # finished combos are recorded and skipped on restart, and each combo
+    # gets its own checkpoint subdirectory so resume never mixes weights.
+    import json
+    import os
+
+    cursor_path = (os.path.join(cfg.checkpoint_dir, "grid_cursor.json")
+                   if cfg.checkpoint_dir and cfg.checkpoint_every > 0
+                   else None)
+    done: Dict[str, Dict] = {}
+    if cursor_path and os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            done = json.load(f)
+
     for idx, hyper_param_dict in enumerate(combos):
         logging.info(
             "========={}/{}: Parameters:{}=========".format(
@@ -69,8 +83,27 @@ def run(cfg: Config, yaml_cfg: Optional[Dict] = None) -> Dict:
             )
         )
         combo_cfg = cfg.replace(**hyper_param_dict)
+        if cursor_path:
+            combo_cfg = combo_cfg.replace(checkpoint_dir=os.path.join(
+                cfg.checkpoint_dir, f"combo_{idx}"))
+            if str(idx) in done:
+                logging.info("combo %d already finished - skipping (grid "
+                             "cursor)", idx + 1)
+                current = {int(k): v for k, v in done[str(idx)].items()}
+                current_recall = current[20]["recall"] if 20 in current \
+                    else current[max(current)]["recall"]
+                if best_performance is None or \
+                        current_recall > best_performance:
+                    best_performance = current_recall
+                    best_params = dict(hyper_param_dict)
+                    best_metrics = current
+                continue
         model = build_model(combo_cfg, dataset)
         current = train_and_evaluate(model, dataset, combo_cfg)
+        if cursor_path:
+            done[str(idx)] = {str(k): dict(v) for k, v in current.items()}
+            with open(cursor_path, "w") as f:
+                json.dump(done, f)
         current_recall = current[20]["recall"] if 20 in current else (
             current[max(current)]["recall"]
         )

@@ -29,6 +29,7 @@ from chaorec_tpu.models.micro import MICRO
 from chaorec_tpu.models.cohesion import COHESION
 from chaorec_tpu.models.cf_diff import CF_Diff
 from chaorec_tpu.models.gformer import GFormer
+from chaorec_tpu.models.mhrec import MHRec
 from chaorec_tpu.models.lightgt import LightGT
 from chaorec_tpu.models.diffmm import DiffMM
 from chaorec_tpu.models.diffrec import DiffRec
@@ -597,6 +598,85 @@ def _diffrec(cfg: Config, ds: RecDataset):
     return DiffRec(
         ds.num_user, ds.num_item, jnp.asarray(dense_interactions(ds)),
         cfg.noise_scale, cfg.noise_min, cfg.noise_max, cfg.steps, cfg.dims,
+    )
+
+
+def _mhrec_hyperedges(cfg: Config, ds: RecDataset, v, t):
+    """Hyperedge node lists for MHRec, fixed width 2 + uu_topk + ii_topk.
+
+    Loads scripts/gen_hypergraph.py output when present — BOTH modalities
+    from the *visual* file, reproducing the reference's loader quirk
+    (main.py:223-226 reads hyperedges_textual from visual_file_path) —
+    else builds the runtime-fallback edges (Model/MHRec.py:610-641): per
+    train interaction, [user, uu_topk co-occurrence users, item,
+    ii_topk knn items], full top-k lists, no dedup.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chaorec_tpu.graphs.user_graph import (build_user_cooccurrence,
+                                               topk_sample)
+
+    n_sent = ds.num_user + ds.num_item
+    vis_path = os.path.join(
+        cfg.data_root, ds.name,
+        f"hyperedges_visual_u{cfg.uu_topk}_i{cfg.ii_topk}.npy")
+    if os.path.exists(vis_path):
+        seq = np.load(vis_path, allow_pickle=True).tolist()
+        width = max(len(h) for h in seq)
+        arr = np.full((len(seq), width), n_sent, np.int32)
+        for i, h in enumerate(seq):
+            arr[i, :len(h)] = list(h)
+        return arr, arr.copy()
+
+    rs = np.random.default_rng(cfg.seed + 3)
+    idx, cnt, lens = build_user_cooccurrence(
+        ds.train_edges, ds.num_user, ds.num_item, topk=cfg.uu_topk)
+    uu, _ = topk_sample(idx, cnt, lens, min(cfg.uu_topk, ds.num_user - 1),
+                        rs)
+
+    def knn_idx(feat, k):
+        f = jnp.asarray(np.asarray(feat, np.float32))
+        f = f * jax.lax.rsqrt(jnp.sum(f * f, 1, keepdims=True) + 1e-12)
+        k = min(k, ds.num_item - 1)
+        out = []
+        for s in range(0, ds.num_item, 4096):
+            sim = f[s:s + 4096] @ f.T
+            rows = jnp.arange(s, min(s + 4096, ds.num_item))
+            sim = sim.at[jnp.arange(sim.shape[0]), rows].set(-jnp.inf)
+            out.append(np.asarray(jax.lax.top_k(sim, k)[1]))
+        return np.concatenate(out, 0)
+
+    ii_v = knn_idx(v, cfg.ii_topk)
+    ii_t = knn_idx(t, cfg.ii_topk)
+    e = ds.train_edges
+
+    def pack(ii):
+        return np.concatenate(
+            [e[:, 0:1], uu[e[:, 0]],
+             e[:, 1:2] + ds.num_user, ii[e[:, 1]] + ds.num_user],
+            axis=1).astype(np.int32)
+
+    return pack(ii_v), pack(ii_t)
+
+
+@register_model("MHRec")
+def _mhrec(cfg: Config, ds: RecDataset):
+    # main.py:374-376: MHRec(num_user, num_item, train_data, dict, v_feat,
+    #   t_feat, dim_E, reg_weight, ii_topk, uu_topk, num_hypernodes,
+    #   n_layers, h_layers, ssl_temp, ssl_alpha, beta1, beta2, device)
+    import jax.numpy as jnp
+
+    v, t = _feats(ds)
+    hv, ht = _mhrec_hyperedges(cfg, ds, v, t)
+    return MHRec(
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds), jnp.asarray(hv),
+        jnp.asarray(ht), v, t, cfg.dim_E, cfg.reg_weight, cfg.ii_topk,
+        cfg.uu_topk, cfg.num_hypernodes, cfg.n_layers, cfg.h_layers,
+        cfg.ssl_temp, cfg.ssl_alpha, cfg.beta1, cfg.beta2,
     )
 
 

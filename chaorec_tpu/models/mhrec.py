@@ -1,0 +1,415 @@
+"""MHRec: multimodal hypergraph diffusion recommendation.
+
+Reference: Model/MHRec.py + its three-phase epoch
+(train_and_evaluate.py:332-512, main.py:219-232, 374-376) and the
+hyperedge preprocessing (gen_hypergraph_u_i.py; scripts/gen_hypergraph.py
+here). Capabilities reproduced:
+
+- hyperedge sequences: one per train interaction — [user, uu_topk similar
+  users, item, ii_topk knn items] per modality (Model/MHRec.py:575-643
+  runtime fallback; the gen script variant additionally randomizes the
+  neighbor counts and dedups). The reference materializes a DENSE
+  (num_hyperedges x num_nodes) incidence (dataload.py:177-214, ~9GB on
+  baby); here rows are built on device per batch from the fixed-width
+  node-index lists (sentinel = num_nodes, dropped by the scatter);
+- per-epoch phases (train_and_evaluate.py:332-512): (A) two DiffRec-style
+  denoisers over hyperedge incidence rows with fresh Adam(lr, wd=0) each
+  epoch, UNIFORM timesteps, SNR-weighted x0 MSE only (the modal gc_loss
+  is commented out in the reference, Model/MHRec.py:346-360); logs
+  'Start to visual/textual hyperedges diffusion' + per-step lines;
+  (B) rebuild: p_sample with sampling_steps=5 (noisy init at t=4, full
+  20-step reverse) per hyperedge row, top-``num_hypernodes`` nodes form
+  the new incidence H (values 1); (C) BPR batches with the rebuilt H
+  matrices; diffusion steps=20, noise 0.1*[1e-4, 2e-2], beta[0]=1e-4
+  (Model/MHRec.py:191,395-398);
+- hypergraph attention (Model/MHRec.py:37-89): hyperedge embeds =
+  incidence-sum of member nodes, per-incidence score = [X_i, E_j] @ a
+  (the Linear W and the leakyrelu are defined but unused — reference
+  quirks), exp-normalized per NODE (+1e-16), messages aggregated to
+  nodes; residual + F.dropout(0.5) after every hypergraph layer —
+  F.dropout's ``training`` flag defaults to True so the dropout is
+  applied in EVERY forward, eval included (reference quirk). Eval uses
+  ``self.result`` cached from the last training forward
+  (Model/MHRec.py:776,866-871) — reproduced by caching the forward
+  output in the model state;
+- forward (Model/MHRec.py:708-779): per modality, h_layers hypergraph
+  attention over [user_modal_emb; normalize(trs(feat))] (mean of layer
+  stack) + beta1 * mean-of-stack GCN over the plain adj; softmax-weighted
+  modal fusion; id-tower mean-of-stack GCN; final = id + beta2 *
+  normalize(modal). Modal feature tables are TRAINABLE copies
+  (nn.Embedding.from_pretrained(freeze=False));
+- loss (Model/MHRec.py:842-864): BPR(+1e-5) + reg over final gathered
+  embeds AND the concatenated initial id/visual/textual embeds + four
+  ssl_alpha-weighted full-catalog contrasts (id tower vs each modal
+  tower, users and pos items).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chaorec_tpu.graphs.norm_adj import BipartiteGraph
+from chaorec_tpu.models.base import Batch, Params, RecModel
+from chaorec_tpu.ops import diffusion as diff
+from chaorec_tpu.ops.init import (torch_linear_init, xavier_normal,
+                                  xavier_uniform)
+from chaorec_tpu.ops.losses import bpr_loss, l2norm, masked_mean
+
+from chaorec_tpu.models.diffmm import dnn_init, dnn_forward
+
+
+class MHRec(RecModel):
+    name = "MHRec"
+    stateful = True
+    emb_size = 10
+    dnn_dropout = 0.5
+    hyper_dropout = 0.5
+    steps = 20  # Model/MHRec.py:395
+    sampling_steps = 5  # train_and_evaluate.py:433
+
+    def __init__(self, num_user, num_item, graph: BipartiteGraph,
+                 hyper_nodes_v, hyper_nodes_t, v_feat, t_feat, dim_E,
+                 reg_weight, ii_topk, uu_topk, num_hypernodes, n_layers,
+                 h_layers, ssl_temp, ssl_alpha, beta1, beta2,
+                 hidden_dims=(1000,)):
+        super().__init__(num_user, num_item)
+        self.graph = graph
+        self.num_nodes = num_user + num_item
+        # (He, W) node-index lists, sentinel = num_nodes for padding
+        self.hyper_nodes_v = hyper_nodes_v
+        self.hyper_nodes_t = hyper_nodes_t
+        self.v_feat0 = v_feat
+        self.t_feat0 = t_feat
+        self.dim_E = dim_E
+        self.reg_weight = reg_weight
+        self.num_hypernodes = min(int(num_hypernodes), self.num_nodes)
+        self.n_layers = n_layers
+        self.h_layers = h_layers
+        self.ssl_temp = ssl_temp
+        self.ssl_alpha = ssl_alpha
+        self.beta1 = beta1
+        self.beta2 = beta2
+        self.hidden_dims = tuple(hidden_dims)
+        self.sched = diff.make_schedule(0.1, 0.0001, 0.02, self.steps,
+                                        beta_fixed_value=1e-4)
+
+    # ------------------------------------------------------------------
+    def init_params(self, rng: jax.Array) -> Params:
+        e = self.dim_E
+        ks = jax.random.split(rng, 10 + 2 * self.h_layers)
+        img_w, img_b = torch_linear_init(ks[0], e, self.v_feat0.shape[1])
+        txt_w, txt_b = torch_linear_init(ks[1], e, self.t_feat0.shape[1])
+        p = {
+            # trainable modal feature tables (freeze=False)
+            "v_feat": jnp.asarray(self.v_feat0),
+            "t_feat": jnp.asarray(self.t_feat0),
+            "img_w": xavier_uniform(ks[2], (e, self.v_feat0.shape[1])),
+            "img_b": img_b,
+            "txt_w": xavier_uniform(ks[3], (e, self.t_feat0.shape[1])),
+            "txt_b": txt_b,
+            "modal_weight": jnp.array([0.5, 0.5], jnp.float32),
+            "u_emb": xavier_normal(ks[4], (self.num_user, e)),
+            "u_v_emb": xavier_normal(ks[5], (self.num_user, e)),
+            "u_t_emb": xavier_normal(ks[6], (self.num_user, e)),
+            "i_emb": xavier_normal(ks[7], (self.num_item, e)),
+            "img_dn": dnn_init(ks[8], self.num_nodes, self.hidden_dims,
+                               self.emb_size),
+            "txt_dn": dnn_init(ks[9], self.num_nodes, self.hidden_dims,
+                               self.emb_size),
+        }
+        for l in range(self.h_layers):
+            p[f"hv_a{l}"] = xavier_uniform(ks[10 + 2 * l], (2 * e, 1))
+            p[f"ht_a{l}"] = xavier_uniform(ks[11 + 2 * l], (2 * e, 1))
+        return p
+
+    def init_state(self, rng: jax.Array):
+        return (jnp.zeros((self.num_user, self.dim_E)),
+                jnp.zeros((self.num_item, self.dim_E)))
+
+    # ------------------------------------------------------------------
+    def _dnn(self, params, prefix, x, ts, rng=None):
+        return dnn_forward(params[prefix], x, ts, self.emb_size,
+                           len(self.hidden_dims), rng=rng,
+                           dropout=self.dnn_dropout)
+
+    def dense_rows(self, nodes):
+        """(B, W) node lists -> (B, num_nodes) 0/1 incidence rows; the
+        sentinel index num_nodes falls outside and is dropped."""
+        b = nodes.shape[0]
+        z = jnp.zeros((b, self.num_nodes), jnp.float32)
+        return z.at[jnp.arange(b)[:, None], nodes].set(1.0, mode="drop")
+
+    def hyper_diff_loss(self, params: Params, prefix: str, nodes, weights,
+                        rng: jax.Array):
+        """Phase-A denoiser loss: uniform ts, SNR-weighted x0 MSE only
+        (Model/MHRec.py:325-361)."""
+        rows = self.dense_rows(nodes)
+        k_t, k_n, k_d = jax.random.split(rng, 3)
+        ts = jax.random.randint(k_t, (rows.shape[0],), 0, self.steps)
+        noise = jax.random.normal(k_n, rows.shape)
+        x_t = diff.q_sample(self.sched, rows, ts, noise)
+        out = self._dnn(params, prefix, x_t, ts, rng=k_d)
+        mse = jnp.mean((rows - out) ** 2, axis=1)
+        w = diff.snr(self.sched, ts - 1) - diff.snr(self.sched, ts)
+        w = jnp.where(ts == 0, 1.0, w)
+        return masked_mean(w * mse, weights)
+
+    def rebuild_rows(self, params: Params, prefix: str, nodes, rng):
+        """Phase-B: p_sample(sampling_steps=5, noisy init) then top-k."""
+        rows = self.dense_rows(nodes)
+        scores = diff.p_sample(
+            self.sched, lambda x_t, ts: self._dnn(params, prefix, x_t, ts),
+            rows, sampling_steps=self.sampling_steps, rng=rng,
+        )
+        return jax.lax.top_k(scores, self.num_hypernodes)[1]
+
+    # ------------------------------------------------------------------
+    def _hyper_attn(self, a, h_nodes, x):
+        """HypergraphAttentionLayer (Model/MHRec.py:37-89) on the rebuilt
+        fixed-width incidence (He, k)."""
+        he, k = h_nodes.shape
+        edge_emb = jnp.sum(x[h_nodes], axis=1)  # E = H^T X
+        xi = x[h_nodes]  # (He, k, E)
+        ej = jnp.broadcast_to(edge_emb[:, None, :], xi.shape)
+        e = (jnp.concatenate([xi, ej], axis=-1) @ a)[..., 0]  # (He, k)
+        e_exp = jnp.exp(e)
+        flat_nodes = h_nodes.reshape(-1)
+        sums = jnp.zeros((x.shape[0],)).at[flat_nodes].add(e_exp.reshape(-1))
+        alpha = e_exp / (sums[h_nodes] + 1e-16)
+        msg = (alpha[..., None] * ej).reshape(-1, x.shape[1])
+        return jnp.zeros_like(x).at[flat_nodes].add(msg)
+
+    def _gcn_mean(self, xu, xi):
+        us, its = [xu], [xi]
+        for _ in range(self.n_layers):
+            xu, xi = self.graph.propagate(xu, xi)
+            us.append(xu)
+            its.append(xi)
+        return sum(us) / len(us), sum(its) / len(its)
+
+    def forward(self, params: Params, h_v, h_t, rng: jax.Array):
+        """Model/MHRec.py:708-779. ``rng`` drives the always-on
+        F.dropout(0.5) after each hypergraph layer (reference quirk)."""
+        v_emb = params["v_feat"] @ params["img_w"].T + params["img_b"]
+        t_emb = params["t_feat"] @ params["txt_w"].T + params["txt_b"]
+        w = jax.nn.softmax(params["modal_weight"])
+
+        def modal_tower(pre, u_modal, feats, h_nodes, key):
+            x = jnp.concatenate([u_modal, l2norm(feats)], axis=0)
+            stack = [x]
+            for l in range(self.h_layers):
+                nxt = self._hyper_attn(params[f"{pre}_a{l}"], h_nodes,
+                                       stack[-1])
+                nxt = nxt + stack[-1]
+                keep = 1.0 - self.hyper_dropout
+                nxt = nxt * jax.random.bernoulli(
+                    jax.random.fold_in(key, l), keep, nxt.shape) / keep
+                stack.append(nxt)
+            hyper = sum(stack) / len(stack)
+            gu, gi = self._gcn_mean(u_modal, l2norm(feats))
+            return hyper + self.beta1 * jnp.concatenate([gu, gi], axis=0)
+
+        k_v, k_t = jax.random.split(rng)
+        embeds_v = modal_tower("hv", params["u_v_emb"], v_emb, h_v, k_v)
+        embeds_t = modal_tower("ht", params["u_t_emb"], t_emb, h_t, k_t)
+        modal = w[0] * embeds_v + w[1] * embeds_t
+
+        gu, gi = self._gcn_mean(params["u_emb"], params["i_emb"])
+        embeds_g = jnp.concatenate([gu, gi], axis=0)
+        all_embs = embeds_g + self.beta2 * l2norm(modal)
+        return (all_embs[:self.num_user], all_embs[self.num_user:],
+                embeds_v, embeds_t, embeds_g)
+
+    # ------------------------------------------------------------------
+    def _contrast(self, e1, e2, nodes, weights):
+        n1, n2 = l2norm(e1), l2norm(e2)
+        p1, p2 = n1[nodes], n2[nodes]
+        nume = jnp.sum(p1 * p2, axis=-1) / self.ssl_temp
+        logits = jnp.dot(p1, n2.T,
+                         preferred_element_type=jnp.float32) / self.ssl_temp
+        return -masked_mean(nume - jax.nn.logsumexp(logits, axis=-1),
+                            weights)
+
+    def loss_hyper(self, params: Params, batch: Batch, h_v, h_t,
+                   rng: jax.Array):
+        """Phase-C loss (Model/MHRec.py:842-864); returns (loss, result)
+        with the cached forward output for eval parity."""
+        u_g, i_g, e_v, e_t, e_g = self.forward(params, h_v, h_t, rng)
+        ue = u_g[batch.users]
+        pe = i_g[batch.pos_items]
+        ne = i_g[batch.neg_items]
+        w = batch.weights
+        l_bpr = bpr_loss(jnp.sum(ue * pe, 1), jnp.sum(ue * ne, 1), w)
+
+        v_emb = params["v_feat"] @ params["img_w"].T + params["img_b"]
+        t_emb = params["t_feat"] @ params["txt_w"].T + params["txt_b"]
+        u0 = jnp.concatenate([params["u_emb"][batch.users],
+                              params["u_v_emb"][batch.users],
+                              params["u_t_emb"][batch.users]], axis=1)
+        p0 = jnp.concatenate([params["i_emb"][batch.pos_items],
+                              v_emb[batch.pos_items],
+                              t_emb[batch.pos_items]], axis=1)
+        n0 = jnp.concatenate([params["i_emb"][batch.neg_items],
+                              v_emb[batch.neg_items],
+                              t_emb[batch.neg_items]], axis=1)
+        reg = self.reg_weight * sum(
+            masked_mean(jnp.mean(x ** 2, -1), w)
+            for x in (ue, pe, ne, u0, p0, n0)
+        )
+
+        gu, gi = e_g[:self.num_user], e_g[self.num_user:]
+        ssl = (
+            self._contrast(gu, e_t[:self.num_user], batch.users, w)
+            + self._contrast(gi, e_v[self.num_user:], batch.pos_items, w)
+            + self._contrast(gu, e_v[:self.num_user], batch.users, w)
+            + self._contrast(gi, e_t[self.num_user:], batch.pos_items, w)
+        ) * self.ssl_alpha
+        return l_bpr + reg + ssl, (u_g, i_g)
+
+    def embeddings_stateful(self, params: Params, state):
+        """self.result cached from the last training forward
+        (Model/MHRec.py:866-871)."""
+        return state
+
+
+class MHRecTrainer:
+    """Three-phase epochs (train_and_evaluate.py:332-512)."""
+
+    def __init__(self, model, dataset, cfg, optimizer=None):
+        import logging
+
+        import optax
+
+        from chaorec_tpu.data.sampling import (make_epoch_batches,
+                                               sample_negatives)
+        from chaorec_tpu.train.loop import Trainer
+
+        self._base = Trainer(model, dataset, cfg)
+        base = self._base
+        model = base.model
+        cfg = base.cfg
+        num_item = dataset.num_item
+
+        dn_labels = jax.tree_util.tree_map_with_path(
+            lambda path, _: "dn" if str(path[0].key).endswith("_dn")
+            else "frozen",
+            model.init_params(jax.random.PRNGKey(0)),
+        )
+        opt_dn = optax.multi_transform(
+            {"dn": optax.adam(cfg.learning_rate),
+             "frozen": optax.set_to_zero()},
+            dn_labels,
+        )
+
+        def edge_ids(n):
+            return jnp.stack([jnp.arange(n, dtype=jnp.int32),
+                              jnp.zeros((n,), jnp.int32)], axis=1)
+
+        def phase_a(model, params, rng, hyper_nodes, prefix):
+            opt_state = opt_dn.init(params)
+            rng, k_shuf = jax.random.split(rng)
+            rows_ids, _, weights, _ = make_epoch_batches(
+                k_shuf, edge_ids(hyper_nodes.shape[0]), cfg.batch_size)
+
+            def step(carry, xs):
+                params, opt_state, rng = carry
+                ids, w = xs
+                rng, k = jax.random.split(rng)
+                loss, grads = jax.value_and_grad(
+                    lambda p: model.hyper_diff_loss(
+                        p, prefix, hyper_nodes[ids], w, k))(params)
+                upd, opt_state = opt_dn.update(grads, opt_state, params)
+                params = optax.apply_updates(params, upd)
+                return (params, opt_state, rng), loss
+
+            (params, _, rng), losses = jax.lax.scan(
+                step, (params, opt_state, rng), (rows_ids, weights))
+            return params, rng, losses
+
+        def phase_b(model, params, rng, hyper_nodes, prefix):
+            # chunked rebuild to bound the (chunk, num_nodes) dense rows
+            he = hyper_nodes.shape[0]
+            chunk = 1024
+            n = -(-he // chunk)
+            pad = n * chunk - he
+            nd = jnp.concatenate(
+                [hyper_nodes,
+                 jnp.full((pad, hyper_nodes.shape[1]), model.num_nodes,
+                          hyper_nodes.dtype)]) if pad else hyper_nodes
+            nd = nd.reshape(n, chunk, -1)
+            keys = jax.random.split(rng, n)
+
+            def body(_, inp):
+                nodes_c, key = inp
+                return None, model.rebuild_rows(params, prefix, nodes_c, key)
+
+            _, out = jax.lax.scan(body, None, (nd, keys))
+            return out.reshape(n * chunk, -1)[:he]
+
+        def phase_c(model, params, opt_state, mstate, h_v, h_t, rng, edges,
+                    history):
+            rng, k_shuf = jax.random.split(rng)
+            users, pos, weights, _ = make_epoch_batches(
+                k_shuf, edges, cfg.batch_size)
+
+            def step(carry, xs):
+                params, opt_state, mstate, rng = carry
+                u, p, w = xs
+                rng, k_neg, k_fwd = jax.random.split(rng, 3)
+                neg = sample_negatives(k_neg, u, history, num_item,
+                                       cfg.neg_candidates)
+                batch = Batch(u, p, neg, w)
+                (loss, mstate), grads = jax.value_and_grad(
+                    model.loss_hyper, has_aux=True)(params, batch, h_v,
+                                                    h_t, k_fwd)
+                upd, opt_state = base.optimizer.update(grads, opt_state,
+                                                       params)
+                params = optax.apply_updates(params, upd)
+                return (params, opt_state, mstate, rng), loss
+
+            (params, opt_state, mstate, rng), losses = jax.lax.scan(
+                step, (params, opt_state, mstate, rng),
+                (users, pos, weights))
+            return params, opt_state, mstate, rng, jnp.sum(losses)
+
+        jit_a = jax.jit(phase_a, donate_argnums=(1,),
+                        static_argnames=("prefix",))
+        jit_b = jax.jit(phase_b, static_argnames=("prefix",))
+        jit_c = jax.jit(phase_c, donate_argnums=(1, 2))
+        import numpy as np
+
+        def train_epoch(params, opt_state, rng, epoch_idx):
+            logging.info("Start to visual hyperedges diffusion")
+            nb_v = model.hyper_nodes_v.shape[0] // cfg.batch_size
+            params, rng, dl = jit_a(model, params, rng,
+                                    model.hyper_nodes_v, "img_dn")
+            for i, l in enumerate(np.asarray(dl)):
+                logging.info("Diffusion Step %d/%d; Diffusion Loss %.6f"
+                             % (i, nb_v, l))
+            logging.info("Start to textual hyperedges diffusion")
+            nb_t = model.hyper_nodes_t.shape[0] // cfg.batch_size
+            params, rng, dl = jit_a(model, params, rng,
+                                    model.hyper_nodes_t, "txt_dn")
+            for i, l in enumerate(np.asarray(dl)):
+                logging.info("Diffusion Step %d/%d; Diffusion Loss %.6f"
+                             % (i, nb_t, l))
+            logging.info("")
+            logging.info("Start to re-build hypergraph matrix")
+            rng, k_v, k_t = jax.random.split(rng, 3)
+            h_v = jit_b(model, params, k_v, model.hyper_nodes_v, "img_dn")
+            h_t = jit_b(model, params, k_t, model.hyper_nodes_t, "txt_dn")
+            logging.info("hypergraph matrix built!")
+            params, opt_state, base.model_state, rng, loss = jit_c(
+                model, params, opt_state, base.model_state, h_v, h_t, rng,
+                base.edges, base.history)
+            return params, opt_state, rng, loss
+
+        base.train_epoch = train_epoch
+
+    def run(self):
+        return self._base.run()
+
+
+MHRec.trainer_cls = MHRecTrainer

@@ -164,12 +164,20 @@ def training_loss(sched: DiffusionSchedule, denoise_fn: Callable, rng,
 
 
 def p_sample(sched: DiffusionSchedule, denoise_fn: Callable, x_start,
-             sampling_steps: int = 0):
-    """Deterministic reverse process (sampling_noise=False default)."""
+             sampling_steps: int = 0, rng=None):
+    """Deterministic reverse process (sampling_noise=False default).
+
+    With ``sampling_steps > 0`` the chain starts from q_sample at
+    t=sampling_steps-1; the torch reference draws fresh Gaussian noise
+    there (MHRec's sampling_steps=5) — pass ``rng`` to match; without it
+    the init is noise-free. The reverse loop always runs the FULL
+    schedule (Model/DiffMM.py:560-577)."""
     x_t = x_start
     if sampling_steps > 0:
         t0 = jnp.full((x_start.shape[0],), sampling_steps - 1, jnp.int32)
-        x_t = q_sample(sched, x_start, t0, jnp.zeros_like(x_start))
+        noise = (jax.random.normal(rng, x_start.shape) if rng is not None
+                 else jnp.zeros_like(x_start))
+        x_t = q_sample(sched, x_start, t0, noise)
 
     def body(x_t, i):
         t = jnp.full((x_t.shape[0],), i, jnp.int32)

@@ -238,7 +238,39 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         early_stopping = EarlyStopping(patience=cfg.patience, verbose=True)
 
-        for epoch in range(cfg.num_epoch):
+        # --- checkpoint/resume (capability add; see train/checkpoint.py)
+        ckpt = None
+        start_epoch = 0
+        if cfg.checkpoint_dir and cfg.checkpoint_every > 0:
+            from chaorec_tpu.train.checkpoint import CheckpointManager
+
+            ckpt = CheckpointManager(cfg.checkpoint_dir)
+            latest = ckpt.latest_step()
+            if latest is not None:
+                like = {"params": params, "opt_state": opt_state,
+                        "mstate": self.model_state, "rng": rng,
+                        "es": {"best_score": jnp.zeros(()),
+                               "counter": jnp.zeros((), jnp.int32)}}
+                tree, metrics = ckpt.restore(latest, like)
+                params = tree["params"]
+                opt_state = tree["opt_state"]
+                self.model_state = tree["mstate"]
+                rng = jnp.asarray(tree["rng"])
+                if metrics is not None:
+                    early_stopping.best_metrics = {
+                        int(k): v for k, v in metrics.items()}
+                    early_stopping.best_score = float(
+                        tree["es"]["best_score"])
+                    early_stopping.counter = int(tree["es"]["counter"])
+                start_epoch = latest
+                logging.info("resumed from checkpoint at epoch %d", latest)
+
+        profiled = False
+        for epoch in range(start_epoch, cfg.num_epoch):
+            # trace the second epoch: steady-state, no compile noise
+            if cfg.profile_dir and epoch == start_epoch + 1 and not profiled:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiled = True
             self.model.pre_epoch(params, rng, epoch)
             t0 = time.perf_counter()
             params, opt_state, rng, loss = self.train_epoch(
@@ -257,8 +289,26 @@ class Trainer:
                 train_s, eval_s, train_s + eval_s,
             )
 
+            if cfg.profile_dir and profiled and epoch == start_epoch + 1:
+                jax.profiler.stop_trace()
+                logging.info("profiler trace written to %s", cfg.profile_dir)
+
             recall = test_metrics[max(cfg.topk)]["recall"]
             early_stopping(recall, test_metrics)
+
+            if ckpt is not None and (epoch + 1) % cfg.checkpoint_every == 0:
+                ckpt.save(
+                    epoch + 1,
+                    {"params": params, "opt_state": opt_state,
+                     "mstate": self.model_state, "rng": rng,
+                     "es": {"best_score": jnp.asarray(
+                         early_stopping.best_score or 0.0),
+                         "counter": jnp.asarray(early_stopping.counter,
+                                                jnp.int32)}},
+                    metrics={str(k): dict(v) for k, v in
+                             (early_stopping.best_metrics or {}).items()},
+                )
+
             if early_stopping.early_stop:
                 print("Early stopping")
                 break

@@ -193,6 +193,14 @@ def test_diffmm_learns(tiny_dataset):
     assert best[20]["recall"] > 0.5, best
 
 
+def test_mhrec_learns(tiny_dataset):
+    best = _run("MHRec", tiny_dataset, epochs=15, learning_rate=0.05,
+                reg_weight=1e-4, n_layers=2, h_layers=1, uu_topk=3,
+                ii_topk=3, num_hypernodes=2, ssl_alpha=1e-3, ssl_temp=0.1,
+                beta1=0.5, beta2=0.5, noise_scale=0.001)
+    assert best[20]["recall"] > 0.5, best
+
+
 def test_gformer_learns(tiny_dataset):
     # small ssl/ctra so the planted-block BPR signal dominates on 64 users
     best = _run("GFormer", tiny_dataset, epochs=15, learning_rate=0.05,
