@@ -264,12 +264,14 @@ class DiffMM(RecModel):
 
     @staticmethod
     def _contrast(e1, e2, nodes, temp, weights):
-        """contrastLoss (Model/DiffMM.py:354-362): full-catalog denominator."""
+        """contrastLoss (Model/DiffMM.py:354-362): full-catalog denominator
+        (streamed on TPU via the Pallas logsumexp kernel)."""
+        from chaorec_tpu.ops.losses import catalog_logsumexp
+
         n1, n2 = l2norm(e1), l2norm(e2)
         p1, p2 = n1[nodes], n2[nodes]
         nume = jnp.sum(p1 * p2, axis=-1) / temp
-        logits = jnp.dot(p1, n2.T, preferred_element_type=jnp.float32) / temp
-        return -masked_mean(nume - jax.nn.logsumexp(logits, axis=-1), weights)
+        return -masked_mean(nume - catalog_logsumexp(p1, n2, temp), weights)
 
     # ------------------------------------------------------------------
     def loss_bpr(self, params: Params, state, batch: Batch):

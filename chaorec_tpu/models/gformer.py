@@ -235,8 +235,9 @@ class GFormer(RecModel):
         first = jnp.concatenate(
             [jnp.ones((1,), bool), sn[1:] != sn[:-1]])
         m = (first & sv).astype(jnp.float32)
-        lse = jax.nn.logsumexp(
-            emb[sn] @ emb.T, axis=-1)
+        from chaorec_tpu.ops.losses import catalog_logsumexp
+
+        lse = catalog_logsumexp(emb[sn], emb)
         return jnp.sum(lse * m) / jnp.maximum(jnp.sum(m), 1.0)
 
     def loss_graphs(self, params: Params, batch: Batch, g: GFGraphs):
@@ -266,8 +267,10 @@ class GFormer(RecModel):
             self._contrast_uniq(batch.users, u_g, w)
             + self._contrast_uniq(batch.pos_items, i_g, w)
         ) * self.ssl_reg
+        from chaorec_tpu.ops.losses import catalog_logsumexp
+
         contrast = contrast + masked_mean(
-            jax.nn.logsumexp(u_g[batch.users] @ i_g.T, axis=-1), w)
+            catalog_logsumexp(u_g[batch.users], i_g), w)
         nce = masked_mean(
             jax.nn.logsumexp(s_all[batch.users] * c_all[batch.users],
                              axis=-1), w)

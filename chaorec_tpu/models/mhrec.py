@@ -224,13 +224,13 @@ class MHRec(RecModel):
 
     # ------------------------------------------------------------------
     def _contrast(self, e1, e2, nodes, weights):
+        from chaorec_tpu.ops.losses import catalog_logsumexp
+
         n1, n2 = l2norm(e1), l2norm(e2)
         p1, p2 = n1[nodes], n2[nodes]
         nume = jnp.sum(p1 * p2, axis=-1) / self.ssl_temp
-        logits = jnp.dot(p1, n2.T,
-                         preferred_element_type=jnp.float32) / self.ssl_temp
-        return -masked_mean(nume - jax.nn.logsumexp(logits, axis=-1),
-                            weights)
+        return -masked_mean(
+            nume - catalog_logsumexp(p1, n2, self.ssl_temp), weights)
 
     def loss_hyper(self, params: Params, batch: Batch, h_v, h_t,
                    rng: jax.Array):

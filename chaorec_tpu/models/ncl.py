@@ -38,8 +38,9 @@ def _full_catalog_nce_sum(cur_batch, prev_batch, prev_all, temp, weights):
     p = _norm(prev_batch)
     allp = _norm(prev_all)
     pos = jnp.sum(c * p, axis=1) / temp
-    logits = jnp.dot(c, allp.T, preferred_element_type=jnp.float32) / temp
-    return jnp.sum((jax.nn.logsumexp(logits, axis=1) - pos) * weights)
+    from chaorec_tpu.ops.losses import catalog_logsumexp
+
+    return jnp.sum((catalog_logsumexp(c, allp, temp) - pos) * weights)
 
 
 class NCL(RecModel):

@@ -90,10 +90,14 @@ class SGL(RecModel):
         bi1, bi2 = i1[items], i2[items]
         pos_u = jnp.sum(bu1 * bu2, axis=1)
         pos_i = jnp.sum(bi1 * bi2, axis=1)
-        logits_u = jnp.dot(bu1, u2.T, preferred_element_type=jnp.float32) - pos_u[:, None]
-        logits_i = jnp.dot(bi1, i2.T, preferred_element_type=jnp.float32) - pos_i[:, None]
-        c_u = jax.nn.logsumexp(logits_u / self.ssl_temp, axis=1)
-        c_i = jax.nn.logsumexp(logits_i / self.ssl_temp, axis=1)
+        # lse((x - pos)/t) == lse(x/t) - pos/t: stream the catalog lse
+        # (Pallas on TPU) and shift by the positive term afterwards.
+        from chaorec_tpu.ops.losses import catalog_logsumexp
+
+        c_u = (catalog_logsumexp(bu1, u2, self.ssl_temp)
+               - pos_u / self.ssl_temp)
+        c_i = (catalog_logsumexp(bi1, i2, self.ssl_temp)
+               - pos_i / self.ssl_temp)
         return jnp.sum((c_u + c_i) * weights)
 
     def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:

@@ -90,3 +90,22 @@ def info_nce(
     logits = jnp.dot(v1, v2.T, preferred_element_type=jnp.float32) / temperature
     log_denom = jax.nn.logsumexp(logits, axis=1)
     return -masked_mean(pos - log_denom, weights)
+
+
+def catalog_logsumexp(q: jnp.ndarray, k: jnp.ndarray,
+                      temperature: float = 1.0) -> jnp.ndarray:
+    """logsumexp(q @ k.T / temperature, axis=-1) for full-catalog
+    contrastive denominators.
+
+    On TPU with catalog-sized ``k`` this streams through the Pallas
+    flash-style kernel (ops/pallas_lse.py) so the (B, N) logit matrix
+    never reaches HBM; elsewhere it falls back to the XLA formulation.
+    """
+    from chaorec_tpu.ops.pallas_lse import (streaming_logsumexp,
+                                            use_pallas_lse)
+
+    qs = q if temperature == 1.0 else q / temperature
+    if use_pallas_lse(q.shape[0], k.shape[0]):
+        return streaming_logsumexp(qs, k)
+    return jax.nn.logsumexp(
+        jnp.dot(qs, k.T, preferred_element_type=jnp.float32), axis=-1)
