@@ -109,3 +109,28 @@ def gene_metrics(dataset, rank_list, k_list, split: str = "val"):
     """
     users, pos_global, lengths = _split_arrays(dataset, split)
     return compute_metrics(rank_list, users, pos_global, lengths, k_list)
+
+
+def gene_metrics_pair(dataset, rank_list, k_list):
+    """val + test metrics with a SINGLE device->host fetch.
+
+    Over a remote TPU link each blocking transfer costs a round trip; the
+    per-epoch eval makes two metric fetches (val, test) that together
+    dominate its latency. Stack both splits' summed metrics on device and
+    fetch once.
+    """
+    vu, vp, vl = _split_arrays(dataset, "val")
+    tu, tp, tl = _split_arrays(dataset, "test")
+    ks = tuple(int(k) for k in k_list)
+    v_sum = _metrics_kernel(rank_list[vu], vp, vl, ks)
+    t_sum = _metrics_kernel(rank_list[tu], tp, tl, ks)
+    both = np.asarray(jnp.stack([v_sum, t_sum]), dtype=np.float64)
+
+    def unpack(summed, n):
+        return {
+            int(k): {name: float(summed[i, j] / n)
+                     for j, name in enumerate(METRIC_NAMES)}
+            for i, k in enumerate(k_list)
+        }
+
+    return unpack(both[0], float(len(vu))), unpack(both[1], float(len(tu)))

@@ -195,8 +195,10 @@ class Trainer:
                 topk=self.cfg.rank_topk,
                 user_chunk=self.cfg.eval_user_chunk,
             )
-        val_metrics = gene_metrics(self.dataset, rank_list, list(self.cfg.topk), "val")
-        test_metrics = gene_metrics(self.dataset, rank_list, list(self.cfg.topk), "test")
+        from chaorec_tpu.eval.metrics import gene_metrics_pair
+
+        val_metrics, test_metrics = gene_metrics_pair(
+            self.dataset, rank_list, list(self.cfg.topk))
         return val_metrics, test_metrics, rank_list
 
     def _rank_from_scores(self, params) -> jnp.ndarray:
