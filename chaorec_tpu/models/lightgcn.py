@@ -74,8 +74,12 @@ class LightGCN(RecModel):
         if self.linear_op is not None:
             e_u, e_i = params["user_embedding"], params["item_embedding"]
             u = self.linear_op.user_rows(batch.users, e_u, e_i)
-            pos = self.linear_op.item_rows(batch.pos_items, e_u, e_i)
-            neg = self.linear_op.item_rows(batch.neg_items, e_u, e_i)
+            # one fused (2B)-row gather+matmul for pos and neg items
+            b = batch.pos_items.shape[0]
+            both = self.linear_op.item_rows(
+                jnp.concatenate([batch.pos_items, batch.neg_items]),
+                e_u, e_i)
+            pos, neg = both[:b], both[b:]
         else:
             user_emb, item_emb = self.propagate(params)
             u = user_emb[batch.users]
