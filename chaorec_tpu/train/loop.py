@@ -273,8 +273,10 @@ class Trainer:
             if cfg.profile_dir and epoch == start_epoch + 1 and not profiled:
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiled = True
-            self.model.pre_epoch(params, rng, epoch)
             t0 = time.perf_counter()
+            # pre_epoch (graph pruning / operator rebuilds) counts as train
+            # time — it is real per-epoch work
+            self.model.pre_epoch(params, rng, epoch)
             params, opt_state, rng, loss = self.train_epoch(
                 params, opt_state, rng, epoch
             )
