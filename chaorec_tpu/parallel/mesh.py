@@ -83,3 +83,37 @@ def make_sharded_train_step(model: RecModel, optimizer: optax.GradientTransforma
     return lambda params, opt_state, batch, rng: jitted(
         model, params, opt_state, batch, rng
     )
+
+
+def sharded_rank(user_emb, item_emb, history_values, num_user: int,
+                 topk: int, mesh: Mesh):
+    """Full-catalog ranking with users sharded over the whole mesh.
+
+    The (U, I) score matrix exists only as per-device (U/n, I) shards;
+    each device masks its users' histories and takes a local top-k — user
+    rows are independent, so no cross-device reduction is needed and the
+    only collective is the initial item-table replication. This is the
+    sharded analog of eval/ranking.gene_ranklist (same 1e-6 mask + global
+    item-id offset semantics).
+    """
+    from chaorec_tpu.eval.ranking import _rank_chunk
+
+    n = mesh.devices.size
+    u = user_emb.shape[0]
+    pad = (-u) % n
+    if pad:
+        user_emb = jnp.pad(user_emb, ((0, pad), (0, 0)))
+        history_values = jnp.pad(
+            history_values, ((0, pad), (0, 0)),
+            constant_values=item_emb.shape[0])
+    row_sh = NamedSharding(mesh, P(("dp", "mp"), None))
+    rep = NamedSharding(mesh, P())
+    u_sh = jax.device_put(user_emb, row_sh)
+    h_sh = jax.device_put(history_values, row_sh)
+    i_rep = jax.device_put(item_emb, rep)
+    k = min(topk, item_emb.shape[0])
+    ranked = jax.jit(
+        _rank_chunk, static_argnames=("topk", "num_user"),
+        out_shardings=row_sh,
+    )(u_sh, i_rep, h_sh, topk=k, num_user=num_user)
+    return ranked[:u]
