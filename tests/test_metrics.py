@@ -91,3 +91,24 @@ def test_metrics_match_reference_semantics(seed):
     for k in k_list:
         for m in want[k]:
             assert got[k][m] == pytest.approx(want[k][m], abs=1e-6), (k, m)
+
+
+def test_gene_metrics_pair_matches_single_calls(tiny_dataset):
+    """The fused val+test fetch returns exactly what two gene_metrics
+    calls return."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chaorec_tpu.eval.metrics import gene_metrics, gene_metrics_pair
+
+    rs = np.random.default_rng(3)
+    rank = jnp.asarray(
+        rs.integers(tiny_dataset.num_user,
+                    tiny_dataset.num_user + tiny_dataset.num_item,
+                    size=(tiny_dataset.num_user, 20)))
+    ks = [5, 10, 20]
+    v, t = gene_metrics_pair(tiny_dataset, rank, ks)
+    v_ref = gene_metrics(tiny_dataset, rank, ks, "val")
+    t_ref = gene_metrics(tiny_dataset, rank, ks, "test")
+    assert v == v_ref
+    assert t == t_ref
