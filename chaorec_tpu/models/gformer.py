@@ -45,7 +45,6 @@ Reference: Model/GFormer.py + its training loop
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax

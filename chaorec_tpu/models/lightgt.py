@@ -33,7 +33,6 @@ main.py:197-199,349-350). Capabilities reproduced:
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

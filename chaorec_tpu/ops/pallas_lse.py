@@ -19,7 +19,7 @@ interpreter mode separately; production CPU paths use XLA).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp
