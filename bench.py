@@ -66,8 +66,8 @@ def main() -> None:
         params, opt_state, rng, loss = trainer.train_epoch(
             params, opt_state, rng, epoch
         )
-        float(loss)  # block on device
-        trainer.evaluate(params)
+        # loss rides the metrics fetch: one round trip per epoch
+        _, _, _, loss = trainer.evaluate(params, extra_scalar=loss)
         times.append(time.perf_counter() - t0)
 
     epoch_s = statistics.median(times)

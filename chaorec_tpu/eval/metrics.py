@@ -111,20 +111,28 @@ def gene_metrics(dataset, rank_list, k_list, split: str = "val"):
     return compute_metrics(rank_list, users, pos_global, lengths, k_list)
 
 
-def gene_metrics_pair(dataset, rank_list, k_list):
+def gene_metrics_pair(dataset, rank_list, k_list, extra_scalar=None):
     """val + test metrics with a SINGLE device->host fetch.
 
     Over a remote TPU link each blocking transfer costs a round trip; the
     per-epoch eval makes two metric fetches (val, test) that together
     dominate its latency. Stack both splits' summed metrics on device and
-    fetch once.
+    fetch once. ``extra_scalar`` (e.g. the epoch loss) rides along in the
+    same transfer and is returned as a float, so a full epoch pays exactly
+    one round trip.
     """
     vu, vp, vl = _split_arrays(dataset, "val")
     tu, tp, tl = _split_arrays(dataset, "test")
     ks = tuple(int(k) for k in k_list)
     v_sum = _metrics_kernel(rank_list[vu], vp, vl, ks)
     t_sum = _metrics_kernel(rank_list[tu], tp, tl, ks)
-    both = np.asarray(jnp.stack([v_sum, t_sum]), dtype=np.float64)
+    stacked = [v_sum.reshape(-1), t_sum.reshape(-1)]
+    if extra_scalar is not None:
+        stacked.append(jnp.reshape(extra_scalar, (1,)).astype(jnp.float32))
+    flat = np.asarray(jnp.concatenate(stacked), dtype=np.float64)
+    size = len(ks) * len(METRIC_NAMES)
+    both = [flat[:size].reshape(len(ks), -1),
+            flat[size:2 * size].reshape(len(ks), -1)]
 
     def unpack(summed, n):
         return {
@@ -133,4 +141,8 @@ def gene_metrics_pair(dataset, rank_list, k_list):
             for i, k in enumerate(k_list)
         }
 
-    return unpack(both[0], float(len(vu))), unpack(both[1], float(len(tu)))
+    val = unpack(both[0], float(len(vu)))
+    test = unpack(both[1], float(len(tu)))
+    if extra_scalar is not None:
+        return val, test, float(flat[-1])
+    return val, test

@@ -180,7 +180,11 @@ class Trainer:
         return params, opt_state, rng, loss
 
     # ------------------------------------------------------------------
-    def evaluate(self, params) -> Tuple[Dict, Dict, jnp.ndarray]:
+    def evaluate(self, params, extra_scalar=None):
+        """(val, test, rank_list[, extra_scalar_as_float]).
+
+        ``extra_scalar`` piggybacks on the single metrics fetch — over the
+        remote TPU link one round trip per epoch instead of two."""
         if self.model.rank_mode == "scores":
             rank_list = self._rank_from_scores(params)
         else:
@@ -197,8 +201,13 @@ class Trainer:
             )
         from chaorec_tpu.eval.metrics import gene_metrics_pair
 
-        val_metrics, test_metrics = gene_metrics_pair(
-            self.dataset, rank_list, list(self.cfg.topk))
+        out = gene_metrics_pair(
+            self.dataset, rank_list, list(self.cfg.topk),
+            extra_scalar=extra_scalar)
+        if extra_scalar is not None:
+            val_metrics, test_metrics, scalar = out
+            return val_metrics, test_metrics, rank_list, scalar
+        val_metrics, test_metrics = out
         return val_metrics, test_metrics, rank_list
 
     def _rank_from_scores(self, params) -> jnp.ndarray:
@@ -280,13 +289,18 @@ class Trainer:
             params, opt_state, rng, loss = self.train_epoch(
                 params, opt_state, rng, epoch
             )
-            loss = float(loss)
             train_s = time.perf_counter() - t0
-            logging.info("Epoch {}, Loss: {:.5f}".format(epoch + 1, loss))
 
             t1 = time.perf_counter()
-            val_metrics, test_metrics, _ = self.evaluate(params)
+            if isinstance(loss, float):
+                # custom trainers may have already fetched the loss
+                val_metrics, test_metrics, _ = self.evaluate(params)
+            else:
+                # one round trip: loss rides the metrics fetch
+                val_metrics, test_metrics, _, loss = self.evaluate(
+                    params, extra_scalar=loss)
             eval_s = time.perf_counter() - t1
+            logging.info("Epoch {}, Loss: {:.5f}".format(epoch + 1, loss))
             _log_metric_tables(val_metrics, test_metrics)
             logging.info(
                 "epoch_time_s: train %.3f | eval %.3f | total %.3f",
