@@ -302,9 +302,12 @@ class Trainer:
             eval_s = time.perf_counter() - t1
             logging.info("Epoch {}, Loss: {:.5f}".format(epoch + 1, loss))
             _log_metric_tables(val_metrics, test_metrics)
+            # with the single-fetch epoch, device work resolves at the eval
+            # fetch; the train slot is dispatch-only for async trainers
             logging.info(
-                "epoch_time_s: train %.3f | eval %.3f | total %.3f",
-                train_s, eval_s, train_s + eval_s,
+                "epoch_time_s: total %.3f (train-dispatch %.3f | "
+                "eval+sync %.3f)",
+                train_s + eval_s, train_s, eval_s,
             )
 
             if cfg.profile_dir and profiled and epoch == start_epoch + 1:
