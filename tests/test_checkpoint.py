@@ -40,3 +40,30 @@ def test_checkpoint_resume_matches_uninterrupted(tiny_dataset, tmp_path):
     # same total number of optimizer steps from the same seed/rng stream
     assert np.allclose(ref, res, atol=1e-5), np.abs(ref - res).max()
     assert best_b[20]["recall"] > 0.5
+
+
+def test_npz_fallback_roundtrip(tmp_path):
+    """The no-orbax fallback stores and restores arbitrary pytrees."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chaorec_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    mgr._ocp = None  # force the npz path
+    mgr._mgr = None
+    tree = {"a": jnp.arange(6.0).reshape(2, 3),
+            "b": {"c": jnp.asarray([1, 2, 3], jnp.int32)}}
+    for step in (1, 2, 3):
+        mgr.save(step, tree, metrics={"20": {"recall": 0.5 + step}})
+    assert mgr.latest_step() == 3
+    restored, metrics = mgr.restore(3, tree)
+    np.testing.assert_array_equal(np.asarray(restored["a"]),
+                                  np.asarray(tree["a"]))
+    np.testing.assert_array_equal(np.asarray(restored["b"]["c"]),
+                                  np.asarray(tree["b"]["c"]))
+    assert metrics == {"20": {"recall": 3.5}}
+    # max_to_keep gc removed step 1
+    assert mgr.latest_step() == 3
+    import os
+    assert not os.path.exists(str(tmp_path / "ck" / "step_1"))
