@@ -55,3 +55,42 @@ def masked_dense_r(
 
 def bernoulli_keep(rng: jax.Array, num_edges: int, keep_prob: float) -> jnp.ndarray:
     return jax.random.bernoulli(rng, keep_prob, (num_edges,)).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("num_user", "num_item", "self_loops"))
+def masked_edge_weights(
+    edge_u: jnp.ndarray,
+    edge_i: jnp.ndarray,
+    keep: jnp.ndarray,
+    num_user: int,
+    num_item: int,
+    self_loops: bool = False,
+    eps: float = 1e-7,
+):
+    """Edge-space twin of masked_dense_r: same post-dropout renormalized
+    weights, no dense operator.
+
+    The dense rebuild costs O(U*I) writes per call — fine for per-EPOCH
+    pruning (FREEDOM/LayerGCN/POWERec), wasteful for per-BATCH views (SGL
+    rebuilds two views every step, Model/SGL.py:140-147). Here the view
+    costs O(E) and propagation runs as segment-sums over the kept edges.
+    Returns (w, self_u, self_i)."""
+    du = jax.ops.segment_sum(keep, edge_u, num_segments=num_user)
+    di = jax.ops.segment_sum(keep, edge_i, num_segments=num_item)
+    if self_loops:
+        du = du + 1.0
+        di = di + 1.0
+    w = keep * jax.lax.rsqrt((du[edge_u] + eps) * (di[edge_i] + eps))
+    if self_loops:
+        return w, 1.0 / (du + eps), 1.0 / (di + eps)
+    return w, None, None
+
+
+def edge_propagate(edge_u, edge_i, w, xu, xi, num_user: int, num_item: int):
+    """One symmetric hop over weighted edges (u-sorted edge list)."""
+    new_u = jax.ops.segment_sum(
+        w[:, None] * xi[edge_i], edge_u, num_segments=num_user,
+        indices_are_sorted=True)
+    new_i = jax.ops.segment_sum(
+        w[:, None] * xu[edge_u], edge_i, num_segments=num_item)
+    return new_u, new_i

@@ -22,7 +22,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from chaorec_tpu.graphs.dropout import bernoulli_keep, masked_dense_r
+from chaorec_tpu.graphs.dropout import (bernoulli_keep, edge_propagate,
+                                        masked_edge_weights)
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
 from chaorec_tpu.ops.init import xavier_uniform
@@ -64,17 +65,17 @@ class SGL(RecModel):
         return acc_u * s, acc_i * s
 
     def _view(self, params: Params, rng: jax.Array):
+        # views are rebuilt EVERY batch (Model/SGL.py:140-147): edge-space
+        # propagation costs O(E) per view vs the O(U*I) dense rebuild
         g = self.graph
         keep = bernoulli_keep(rng, g.u_by_u.shape[0], 1.0 - self.ssl_ratio)
-        r, _, _ = masked_dense_r(
+        w, _, _ = masked_edge_weights(
             g.u_by_u, g.i_by_u, keep, self.num_user, self.num_item
         )
 
         def prop(xu, xi):
-            return (
-                jnp.dot(r, xi, preferred_element_type=jnp.float32),
-                jnp.dot(r.T, xu, preferred_element_type=jnp.float32),
-            )
+            return edge_propagate(g.u_by_u, g.i_by_u, w, xu, xi,
+                                  self.num_user, self.num_item)
 
         return self._gcn_mean(
             params["user_embedding"], params["item_embedding"], prop
