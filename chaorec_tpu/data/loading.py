@@ -31,6 +31,8 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
+from chaorec_tpu import native
+
 # dataload.py:36-56 hard-coded dataset statistics.
 DATASET_STATS: Dict[str, Tuple[int, int]] = {
     "netfilx": (14971, 7444),
@@ -58,13 +60,14 @@ class PaddedLists:
 
 def _pad_lists(lists, fill: int, sort: bool = False, min_width: int = 1) -> PaddedLists:
     n = len(lists)
-    width = max(min_width, max((len(x) for x in lists), default=0))
-    out = np.full((n, width), fill, dtype=np.int32)
-    lens = np.zeros((n,), dtype=np.int32)
-    for i, row in enumerate(lists):
-        row = np.asarray(sorted(row) if sort else list(row), dtype=np.int32)
-        out[i, : len(row)] = row
-        lens[i] = len(row)
+    row_lens = np.fromiter((len(x) for x in lists), np.int64, n)
+    width = max(min_width, int(row_lens.max()) if n else 0)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(row_lens, out=indptr[1:])
+    flat = np.fromiter(
+        (int(v) for row in lists for v in row), np.int32, int(indptr[-1])
+    )
+    out, lens = native.pad_ragged(indptr, flat, width, fill, sort_rows=sort)
     return PaddedLists(out, lens, fill)
 
 

@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from chaorec_tpu import native
+
 
 def node_degrees(edges: np.ndarray, num_user: int, num_item: int) -> Tuple[np.ndarray, np.ndarray]:
     """User and item degrees from (E, 2) [user, item0based] edges."""
@@ -160,15 +162,14 @@ def build_norm_adj(
     (Model/DiffMM.py:116-156; eps guards isolated nodes the same way the
     reference's ``+1e-7`` row-sum guard does).
     """
-    edges = np.asarray(edges)
+    edges = np.ascontiguousarray(edges, dtype=np.int32)
     if use_dense is None:
         use_dense = num_user * num_item <= dense_threshold
-    du, di = node_degrees(edges, num_user, num_item)
-    w = 1.0 / np.sqrt((du[edges[:, 0]] + eps) * (di[edges[:, 1]] + eps))
-    w = w.astype(np.float32)
-
-    order_u = np.argsort(edges[:, 0], kind="stable")
-    order_i = np.argsort(edges[:, 1], kind="stable")
+    # Degrees, sym-norm edge weights and both stable edge orders come from
+    # the native host runtime (chaorec_tpu/native: C++ counting sort,
+    # O(E + U + I)); its numpy fallback is semantically identical.
+    du, di, w, order_u, order_i = native.build_adj(edges, num_user, num_item,
+                                                   eps=eps)
     u_by_u = jnp.asarray(edges[order_u, 0], dtype=jnp.int32)
     i_by_u = jnp.asarray(edges[order_u, 1], dtype=jnp.int32)
     w_by_u = jnp.asarray(w[order_u])
@@ -178,8 +179,7 @@ def build_norm_adj(
 
     dense_r = None
     if use_dense:
-        r = np.zeros((num_user, num_item), dtype=np.float32)
-        np.add.at(r, (edges[:, 0], edges[:, 1]), w)
+        r = native.fill_dense(edges, order_u, w, num_user, num_item)
         dense_r = jnp.asarray(
             r, dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         )

@@ -28,9 +28,17 @@ def build_user_cooccurrence(
     num_item: int,
     topk: int = 200,
     row_chunk: int = 4096,
+    dense_threshold: int = 1_500_000_000,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (indices (U, topk) int32, counts (U, topk) float32,
-    lengths (U,) int32 = number of nonzero co-interaction neighbors kept)."""
+    lengths (U,) int32 = number of nonzero co-interaction neighbors kept).
+
+    Two paths: device MXU matmul over the dense interaction matrix for
+    catalogs where B fits (all reference datasets except electronics), and
+    the native sparse-intersection path (chaorec_tpu/native ch_uu_topk,
+    O(sum_i d_i^2) work, O(U) memory per thread) above the threshold."""
+    if num_user * num_item > dense_threshold:
+        return _build_user_cooccurrence_sparse(edges, num_user, topk)
     b = np.zeros((num_user, num_item), np.float32)
     b[edges[:, 0], edges[:, 1]] = 1.0
     bj = jnp.asarray(b)
@@ -64,6 +72,33 @@ def build_user_cooccurrence(
     idx_out = np.where(mask, idx_out, 0)
     cnt_out = np.where(mask, cnt_out, 0.0)
     return idx_out, cnt_out, lengths
+
+
+def _build_user_cooccurrence_sparse(
+    edges: np.ndarray, num_user: int, topk: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Native sparse co-interaction top-k; same output contract as the
+    dense path (raw counts, self excluded, desc order)."""
+    from chaorec_tpu import native
+
+    num_item = int(edges[:, 1].max()) + 1
+    topk = min(topk, num_user - 1)
+
+    def csr(pairs, n):
+        order = np.argsort(pairs[:, 0], kind="stable")
+        vals = np.ascontiguousarray(pairs[order, 1], np.int32)
+        counts = np.bincount(pairs[:, 0], minlength=n)
+        indptr = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        return indptr, vals
+
+    user_indptr, user_items = csr(edges, num_user)
+    item_indptr, item_users = csr(edges[:, ::-1], num_item)
+    ids, w = native.uu_topk(user_indptr, user_items, item_indptr, item_users,
+                            num_user, topk, weighted=False)
+    lengths = (ids >= 0).sum(axis=1).astype(np.int32)
+    ids = np.where(ids >= 0, ids, 0).astype(np.int32)
+    return ids, w.astype(np.float32), lengths
 
 
 def topk_sample(
