@@ -16,7 +16,7 @@ from typing import Dict, List, Optional
 from chaorec_tpu.config import Config, grid_combinations, load_yaml_config, parse_cli
 from chaorec_tpu.data.loading import data_load
 from chaorec_tpu.models import build_model
-from chaorec_tpu.train.loop import train_and_evaluate
+from chaorec_tpu.train.loop import Trainer
 
 LOG_FORMAT = "%(asctime)s %(levelname)s %(message)s"
 DATE_FORMAT = "%a %d %b %Y %H:%M:%S"
@@ -61,6 +61,7 @@ def run(cfg: Config, yaml_cfg: Optional[Dict] = None) -> Dict:
     best_performance = None
     best_params = None
     best_metrics = None
+    best_export = None
 
     # Grid cursor (capability add, SURVEY §5): with checkpointing enabled,
     # finished combos are recorded and skipped on restart, and each combo
@@ -99,7 +100,9 @@ def run(cfg: Config, yaml_cfg: Optional[Dict] = None) -> Dict:
                     best_metrics = current
                 continue
         model = build_model(combo_cfg, dataset)
-        current = train_and_evaluate(model, dataset, combo_cfg)
+        trainer_cls = getattr(model, "trainer_cls", Trainer)
+        trainer = trainer_cls(model, dataset, combo_cfg)
+        current = trainer.run()
         if cursor_path:
             done[str(idx)] = {str(k): dict(v) for k, v in current.items()}
             with open(cursor_path, "w") as f:
@@ -111,6 +114,31 @@ def run(cfg: Config, yaml_cfg: Optional[Dict] = None) -> Dict:
             best_performance = current_recall
             best_params = dict(hyper_param_dict)
             best_metrics = current
+            if cfg.export_artifact:
+                best_export = (
+                    model,
+                    getattr(trainer, "best_params_host", None)
+                    or getattr(trainer, "final_params", None),
+                    getattr(trainer, "best_mstate_host", None)
+                    or getattr(trainer, "model_state", None),
+                )
+
+    if cfg.export_artifact:
+        if best_export is None:
+            # best combo was skipped via the grid cursor: no live weights
+            logging.warning("export_artifact: best combo resumed from the "
+                            "grid cursor - re-run it to export")
+            params = None
+        else:
+            model, params, mstate = best_export
+        if params is None:
+            logging.warning("export_artifact: best combo's trainer kept no "
+                            "weights - skipping export")
+        else:
+            from chaorec_tpu.serve import export_artifact
+
+            export_artifact(model, params, mstate, dataset,
+                            cfg.export_artifact)
 
     logging.info("Best performance: {:.5f}".format(best_performance))
     logging.info("Best parameters: {}".format(best_params))

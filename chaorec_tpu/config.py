@@ -121,6 +121,9 @@ class Config:
     checkpoint_dir: str = ""  # orbax checkpoints; empty = disabled
     checkpoint_every: int = 0  # epochs between checkpoints; 0 = disabled
     profile_dir: str = ""  # jax.profiler trace output; empty = disabled
+    # Serving artifact written for the grid's best combo after training
+    # (chaorec_tpu/serve.py); empty = disabled.
+    export_artifact: str = ""
 
     # Extra dynamic keys from YAML that are not predeclared.
     extra: Dict[str, Any] = field(default_factory=dict)

@@ -316,6 +316,11 @@ class Trainer:
 
             recall = test_metrics[max(cfg.topk)]["recall"]
             early_stopping(recall, test_metrics)
+            # Keep a host copy of the best epoch's weights for the serving
+            # export (host copy: device buffers are donated next epoch).
+            if cfg.export_artifact and early_stopping.counter == 0:
+                self.best_params_host = jax.device_get(params)
+                self.best_mstate_host = jax.device_get(self.model_state)
 
             if ckpt is not None and (epoch + 1) % cfg.checkpoint_every == 0:
                 ckpt.save(
