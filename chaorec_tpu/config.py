@@ -124,6 +124,11 @@ class Config:
     # Serving artifact written for the grid's best combo after training
     # (chaorec_tpu/serve.py); empty = disabled.
     export_artifact: str = ""
+    # One-epoch-deep eval pipeline: overlap the per-epoch metrics fetch
+    # round trip with the next epoch's device work. Identical metric values
+    # and early-stop decisions; auto-disabled with checkpointing, export,
+    # or profiling (train/loop.py).
+    eval_pipeline: bool = True
 
     # Extra dynamic keys from YAML that are not predeclared.
     extra: Dict[str, Any] = field(default_factory=dict)

@@ -25,6 +25,13 @@ import jax
 import jax.numpy as jnp
 
 
+# Above this history width, the O(H) broadcast compare loses to the
+# O(log H) binary search. Below it, the compare is pure VPU work with no
+# loop-carried dependence and is ~an order of magnitude faster inside the
+# epoch scan (measured on beauty, H=389: 75ms -> ~1ms per epoch).
+_BCAST_MAX_H = 4096
+
+
 def _in_sorted(history_rows: jnp.ndarray, candidates: jnp.ndarray) -> jnp.ndarray:
     """Membership of candidates in per-row sorted histories.
 
@@ -32,7 +39,17 @@ def _in_sorted(history_rows: jnp.ndarray, candidates: jnp.ndarray) -> jnp.ndarra
         larger than every valid item id.
     candidates: (B, K) int32.
     Returns (B, K) bool: True where candidate appears in its row's history.
+
+    Two equivalent lowerings: a flat (B, K, H) broadcast equality for
+    typical history widths (vectorizes perfectly on the VPU; XLA's
+    vmapped ``searchsorted`` while-loop serializes badly inside scans),
+    and the binary search above ``_BCAST_MAX_H``. Both return identical
+    booleans (pinned by tests/test_sampling.py).
     """
+    if history_rows.shape[1] <= _BCAST_MAX_H:
+        return jnp.any(
+            candidates[:, :, None] == history_rows[:, None, :], axis=2
+        )
     idx = jax.vmap(jnp.searchsorted)(history_rows, candidates)  # (B, K)
     idx = jnp.minimum(idx, history_rows.shape[1] - 1)
     found = jnp.take_along_axis(history_rows, idx, axis=1) == candidates

@@ -111,6 +111,48 @@ def gene_metrics(dataset, rank_list, k_list, split: str = "val"):
     return compute_metrics(rank_list, users, pos_global, lengths, k_list)
 
 
+def gene_metrics_pair_async(dataset, rank_list, k_list, extra_scalar=None):
+    """Dispatch val+test metric computation; defer the device->host fetch.
+
+    Returns ``(device_flat, resolve)``: ``device_flat`` is the in-flight
+    concatenated result; calling ``resolve()`` blocks on the single
+    transfer and returns ``(val, test[, extra_scalar_float])``. Deferring
+    the resolve lets the trainer overlap the fetch round trip with the
+    NEXT epoch's device work (a one-epoch-deep pipeline)."""
+    vu, vp, vl = _split_arrays(dataset, "val")
+    tu, tp, tl = _split_arrays(dataset, "test")
+    ks = tuple(int(k) for k in k_list)
+    has_scalar = extra_scalar is not None
+    v_sum = _metrics_kernel(rank_list[vu], vp, vl, ks)
+    t_sum = _metrics_kernel(rank_list[tu], tp, tl, ks)
+    stacked = [v_sum.reshape(-1), t_sum.reshape(-1)]
+    if has_scalar:
+        stacked.append(jnp.reshape(extra_scalar, (1,)).astype(jnp.float32))
+    device_flat = jnp.concatenate(stacked)
+    n_val, n_test = float(len(vu)), float(len(tu))
+
+    def resolve():
+        flat = np.asarray(device_flat, dtype=np.float64)
+        size = len(ks) * len(METRIC_NAMES)
+        both = [flat[:size].reshape(len(ks), -1),
+                flat[size:2 * size].reshape(len(ks), -1)]
+
+        def unpack(summed, n):
+            return {
+                int(k): {name: float(summed[i, j] / n)
+                         for j, name in enumerate(METRIC_NAMES)}
+                for i, k in enumerate(k_list)
+            }
+
+        val = unpack(both[0], n_val)
+        test = unpack(both[1], n_test)
+        if has_scalar:
+            return val, test, float(flat[-1])
+        return val, test
+
+    return device_flat, resolve
+
+
 def gene_metrics_pair(dataset, rank_list, k_list, extra_scalar=None):
     """val + test metrics with a SINGLE device->host fetch.
 
@@ -121,28 +163,6 @@ def gene_metrics_pair(dataset, rank_list, k_list, extra_scalar=None):
     same transfer and is returned as a float, so a full epoch pays exactly
     one round trip.
     """
-    vu, vp, vl = _split_arrays(dataset, "val")
-    tu, tp, tl = _split_arrays(dataset, "test")
-    ks = tuple(int(k) for k in k_list)
-    v_sum = _metrics_kernel(rank_list[vu], vp, vl, ks)
-    t_sum = _metrics_kernel(rank_list[tu], tp, tl, ks)
-    stacked = [v_sum.reshape(-1), t_sum.reshape(-1)]
-    if extra_scalar is not None:
-        stacked.append(jnp.reshape(extra_scalar, (1,)).astype(jnp.float32))
-    flat = np.asarray(jnp.concatenate(stacked), dtype=np.float64)
-    size = len(ks) * len(METRIC_NAMES)
-    both = [flat[:size].reshape(len(ks), -1),
-            flat[size:2 * size].reshape(len(ks), -1)]
-
-    def unpack(summed, n):
-        return {
-            int(k): {name: float(summed[i, j] / n)
-                     for j, name in enumerate(METRIC_NAMES)}
-            for i, k in enumerate(k_list)
-        }
-
-    val = unpack(both[0], float(len(vu)))
-    test = unpack(both[1], float(len(tu)))
-    if extra_scalar is not None:
-        return val, test, float(flat[-1])
-    return val, test
+    _, resolve = gene_metrics_pair_async(dataset, rank_list, k_list,
+                                         extra_scalar)
+    return resolve()

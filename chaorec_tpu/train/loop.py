@@ -180,11 +180,13 @@ class Trainer:
         return params, opt_state, rng, loss
 
     # ------------------------------------------------------------------
-    def evaluate(self, params, extra_scalar=None):
-        """(val, test, rank_list[, extra_scalar_as_float]).
+    def evaluate_async(self, params, extra_scalar=None):
+        """Dispatch ranking + metric computation; defer the blocking fetch.
 
-        ``extra_scalar`` piggybacks on the single metrics fetch — over the
-        remote TPU link one round trip per epoch instead of two."""
+        Returns ``(rank_list, resolve)``: ``resolve()`` performs the single
+        device->host transfer and returns ``(val, test[, extra_float])``.
+        Deferring the resolve lets the run loop overlap the fetch round
+        trip with the NEXT epoch's device work (one-epoch-deep pipeline)."""
         if self.model.rank_mode == "scores":
             rank_list = self._rank_from_scores(params)
         else:
@@ -199,11 +201,20 @@ class Trainer:
                 topk=self.cfg.rank_topk,
                 user_chunk=self.cfg.eval_user_chunk,
             )
-        from chaorec_tpu.eval.metrics import gene_metrics_pair
+        from chaorec_tpu.eval.metrics import gene_metrics_pair_async
 
-        out = gene_metrics_pair(
+        _, resolve = gene_metrics_pair_async(
             self.dataset, rank_list, list(self.cfg.topk),
             extra_scalar=extra_scalar)
+        return rank_list, resolve
+
+    def evaluate(self, params, extra_scalar=None):
+        """(val, test, rank_list[, extra_scalar_as_float]).
+
+        ``extra_scalar`` piggybacks on the single metrics fetch — over the
+        remote TPU link one round trip per epoch instead of two."""
+        rank_list, resolve = self.evaluate_async(params, extra_scalar)
+        out = resolve()
         if extra_scalar is not None:
             val_metrics, test_metrics, scalar = out
             return val_metrics, test_metrics, rank_list, scalar
@@ -276,7 +287,51 @@ class Trainer:
                 start_epoch = latest
                 logging.info("resumed from checkpoint at epoch %d", latest)
 
+        # One-epoch-deep eval pipeline: dispatch epoch N's train+eval, then
+        # resolve epoch N-1's metrics fetch while N computes on device.
+        # Metric values, early-stop decisions, and the log are IDENTICAL to
+        # the unpipelined loop (same computations, resolved in order); the
+        # only difference is that when early stopping triggers, one already-
+        # dispatched epoch's device work is discarded unlogged. Disabled
+        # whenever an epoch must be observed before the next one starts:
+        # checkpointing (exact-continuation), export (best-weight snapshots),
+        # profiling (clean trace windows).
+        pipeline = (cfg.eval_pipeline and ckpt is None
+                    and not cfg.export_artifact and not cfg.profile_dir)
+
+        def finish(entry) -> bool:
+            """Resolve one epoch's metrics fetch; log; early-stop update."""
+            t0 = time.perf_counter()
+            out = entry["resolve"]()
+            if entry["has_scalar"]:
+                val_metrics, test_metrics, loss = out
+            else:
+                val_metrics, test_metrics = out
+                loss = entry["loss"]
+            resolve_s = time.perf_counter() - t0
+            logging.info("Epoch {}, Loss: {:.5f}".format(
+                entry["epoch"] + 1, loss))
+            _log_metric_tables(val_metrics, test_metrics)
+            # device work resolves at the fetch; the dispatch slot is
+            # host-side only for async epochs
+            logging.info(
+                "epoch_time_s: total %.3f (train-dispatch %.3f | "
+                "eval+sync %.3f)",
+                entry["dispatch_s"] + resolve_s, entry["dispatch_s"],
+                resolve_s,
+            )
+            recall = test_metrics[max(cfg.topk)]["recall"]
+            early_stopping(recall, test_metrics)
+            # Keep a host copy of the best epoch's weights for the serving
+            # export (host copy: device buffers are donated next epoch).
+            if cfg.export_artifact and early_stopping.counter == 0:
+                self.best_params_host = jax.device_get(entry["params"])
+                self.best_mstate_host = jax.device_get(entry["mstate"])
+            return early_stopping.early_stop
+
         profiled = False
+        pending = None
+        stopped = False
         for epoch in range(start_epoch, cfg.num_epoch):
             # trace the second epoch: steady-state, no compile noise
             if cfg.profile_dir and epoch == start_epoch + 1 and not profiled:
@@ -289,38 +344,24 @@ class Trainer:
             params, opt_state, rng, loss = self.train_epoch(
                 params, opt_state, rng, epoch
             )
-            train_s = time.perf_counter() - t0
-
-            t1 = time.perf_counter()
-            if isinstance(loss, float):
-                # custom trainers may have already fetched the loss
-                val_metrics, test_metrics, _ = self.evaluate(params)
+            has_scalar = not isinstance(loss, float)
+            _, resolve = self.evaluate_async(
+                params, extra_scalar=loss if has_scalar else None)
+            entry = {
+                "epoch": epoch, "resolve": resolve, "has_scalar": has_scalar,
+                "loss": loss, "dispatch_s": time.perf_counter() - t0,
+                "params": params, "mstate": self.model_state,
+            }
+            if pipeline:
+                if pending is not None:
+                    stopped = finish(pending)
+                pending = entry
             else:
-                # one round trip: loss rides the metrics fetch
-                val_metrics, test_metrics, _, loss = self.evaluate(
-                    params, extra_scalar=loss)
-            eval_s = time.perf_counter() - t1
-            logging.info("Epoch {}, Loss: {:.5f}".format(epoch + 1, loss))
-            _log_metric_tables(val_metrics, test_metrics)
-            # with the single-fetch epoch, device work resolves at the eval
-            # fetch; the train slot is dispatch-only for async trainers
-            logging.info(
-                "epoch_time_s: total %.3f (train-dispatch %.3f | "
-                "eval+sync %.3f)",
-                train_s + eval_s, train_s, eval_s,
-            )
+                stopped = finish(entry)
 
             if cfg.profile_dir and profiled and epoch == start_epoch + 1:
                 jax.profiler.stop_trace()
                 logging.info("profiler trace written to %s", cfg.profile_dir)
-
-            recall = test_metrics[max(cfg.topk)]["recall"]
-            early_stopping(recall, test_metrics)
-            # Keep a host copy of the best epoch's weights for the serving
-            # export (host copy: device buffers are donated next epoch).
-            if cfg.export_artifact and early_stopping.counter == 0:
-                self.best_params_host = jax.device_get(params)
-                self.best_mstate_host = jax.device_get(self.model_state)
 
             if ckpt is not None and (epoch + 1) % cfg.checkpoint_every == 0:
                 ckpt.save(
@@ -335,9 +376,14 @@ class Trainer:
                              (early_stopping.best_metrics or {}).items()},
                 )
 
-            if early_stopping.early_stop:
+            if stopped:
+                # in-flight epoch (if any) is discarded unlogged — exactly
+                # the epochs the unpipelined loop would never have run
+                pending = None
                 print("Early stopping")
                 break
+        if pending is not None and not stopped:
+            finish(pending)
 
         best_metrics = early_stopping.best_metrics
         logging.info("Best Test Metrics:")

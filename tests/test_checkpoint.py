@@ -67,3 +67,29 @@ def test_npz_fallback_roundtrip(tmp_path):
     assert mgr.latest_step() == 3
     import os
     assert not os.path.exists(str(tmp_path / "ck" / "step_1"))
+
+
+def test_eval_pipeline_equivalence(tiny_dataset, caplog):
+    """Pipelined and unpipelined run loops produce identical logs/metrics."""
+    import logging
+
+    from chaorec_tpu.config import Config
+    from chaorec_tpu.models import build_model
+    from chaorec_tpu.train.loop import Trainer
+
+    results = {}
+    logs = {}
+    for flag in (False, True):
+        cfg = Config(Model="LightGCN", batch_size=64, num_epoch=6, dim_E=16,
+                     learning_rate=0.05, reg_weight=1e-4, n_layers=2,
+                     patience=2, eval_pipeline=flag)
+        model = build_model(cfg, tiny_dataset)
+        with caplog.at_level(logging.INFO):
+            caplog.clear()
+            results[flag] = Trainer(model, tiny_dataset, cfg).run()
+            logs[flag] = [r.getMessage() for r in caplog.records
+                          if r.getMessage().startswith(("Epoch", "Validation",
+                                                        "Test", "5:", "10:",
+                                                        "20:"))]
+    assert results[False] == results[True]
+    assert logs[False] == logs[True]

@@ -50,3 +50,26 @@ def test_epoch_batches_cover_all_edges(tiny_dataset):
     want = {tuple(r) for r in ds.train_edges.tolist()}
     assert got == want
     assert len(flat) == ds.num_edges
+
+
+def test_membership_paths_identical():
+    """Broadcast-compare and binary-search membership agree bitwise."""
+    import numpy as np
+    from chaorec_tpu.data import sampling
+
+    rs = np.random.default_rng(3)
+    h = np.sort(rs.integers(0, 500, (64, 20)).astype(np.int32), axis=1)
+    h[:, -3:] = 500  # sentinel padding
+    cand = rs.integers(0, 500, (64, 8)).astype(np.int32)
+    # some guaranteed hits
+    cand[:, 0] = h[:, 0]
+    import jax.numpy as jnp
+
+    a = sampling._in_sorted(jnp.asarray(h), jnp.asarray(cand))
+    old = sampling._BCAST_MAX_H
+    try:
+        sampling._BCAST_MAX_H = 0  # force binary-search path
+        b = sampling._in_sorted(jnp.asarray(h), jnp.asarray(cand))
+    finally:
+        sampling._BCAST_MAX_H = old
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
