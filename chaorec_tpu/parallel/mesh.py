@@ -60,8 +60,18 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
+    """Row-shard every array field over the whole mesh; scalars (the batch
+    ``index``) are replicated and ``None`` fields pass through."""
     sh = NamedSharding(mesh, P(("dp", "mp")))
-    return Batch(*(jax.device_put(x, sh) for x in batch))
+    rep = NamedSharding(mesh, P())
+
+    def put(x):
+        if x is None:
+            return None
+        x = jnp.asarray(x)
+        return jax.device_put(x, sh if x.ndim >= 1 else rep)
+
+    return Batch(*(put(x) for x in batch))
 
 
 def make_sharded_train_step(model: RecModel, optimizer: optax.GradientTransformation,

@@ -1,0 +1,125 @@
+"""Multi-device parallel path on the virtual 8-device CPU mesh.
+
+The conftest splits the host CPU into 8 XLA devices; these tests pin that
+the dp x mp sharded training step and the user-sharded eval produce the
+same numbers as the single-device path (the sharded program is the same
+math with XLA-inserted collectives, so equality is expected up to fp32
+reduction order).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from chaorec_tpu.config import Config
+from chaorec_tpu.eval.ranking import gene_ranklist
+from chaorec_tpu.models import build_model
+from chaorec_tpu.models.base import Batch
+from chaorec_tpu.parallel.mesh import (
+    make_mesh,
+    make_sharded_train_step,
+    shard_batch,
+    shard_params,
+    sharded_rank,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the virtual 8-device platform"
+)
+
+
+def test_make_mesh_axes():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("dp", "mp")
+    assert make_mesh(1).devices.shape == (1, 1)
+
+
+def _bpr_setup(tiny_dataset):
+    cfg = Config(Model="BPR", batch_size=64, dim_E=16, learning_rate=0.05,
+                 reg_weight=1e-4)
+    model = build_model(cfg, tiny_dataset)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rs = np.random.default_rng(1)
+    b = 64
+    users = rs.integers(0, tiny_dataset.num_user, b).astype(np.int32)
+    pos = rs.integers(0, tiny_dataset.num_item, b).astype(np.int32)
+    neg = rs.integers(0, tiny_dataset.num_item, b).astype(np.int32)
+    batch = Batch(jnp.asarray(users), jnp.asarray(pos), jnp.asarray(neg),
+                  jnp.ones((b,), jnp.float32), jnp.int32(0), None)
+    return model, params, batch
+
+
+def test_sharded_step_matches_single_device(tiny_dataset):
+    model, params, batch = _bpr_setup(tiny_dataset)
+    opt = optax.adam(1e-2)
+    rng = jax.random.PRNGKey(7)
+
+    # single-device reference
+    def step(model, params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(model.loss)(params, batch, rng)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    p_ref, _, loss_ref = jax.jit(step)(model, params, opt.init(params),
+                                       batch, rng)
+
+    mesh = make_mesh(8)
+    p_sh = shard_params(params, mesh)
+    b_sh = shard_batch(batch, mesh)
+    sharded = make_sharded_train_step(model, opt, mesh)
+    p_out, _, loss_sh = sharded(p_sh, opt.init(p_sh), b_sh, rng)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    for k in p_ref:
+        np.testing.assert_allclose(np.asarray(p_out[k]), np.asarray(p_ref[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_rank_matches_gene_ranklist(tiny_dataset):
+    ds = tiny_dataset
+    rs = np.random.default_rng(2)
+    ue = jnp.asarray(rs.standard_normal((ds.num_user, 16)).astype(np.float32))
+    ie = jnp.asarray(rs.standard_normal((ds.num_item, 16)).astype(np.float32))
+    hist = jnp.asarray(ds.history.values)
+
+    ref = np.asarray(gene_ranklist(ue, ie, hist, ds.num_user, topk=10))
+    mesh = make_mesh(8)
+    got = np.asarray(sharded_rank(ue, ie, hist, ds.num_user, 10, mesh))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_training_learns(tiny_dataset):
+    """A short sharded training run on the planted-block dataset learns
+    (end-to-end: sharded steps + sharded eval + metrics)."""
+    from chaorec_tpu.data.sampling import make_epoch_batches, sample_negatives
+    from chaorec_tpu.eval.metrics import gene_metrics
+
+    ds = tiny_dataset
+    cfg = Config(Model="BPR", batch_size=64, dim_E=16, learning_rate=0.05,
+                 reg_weight=1e-4)
+    model = build_model(cfg, ds)
+    mesh = make_mesh(8)
+    opt = optax.adam(cfg.learning_rate)
+    params = shard_params(model.init_params(jax.random.PRNGKey(0)), mesh)
+    opt_state = opt.init(params)
+    step = make_sharded_train_step(model, opt, mesh)
+    edges = jnp.asarray(ds.train_edges)
+    history = jnp.asarray(ds.history.values)
+    rng = jax.random.PRNGKey(3)
+    for epoch in range(30):
+        rng, srng = jax.random.split(rng)
+        users, pos, w, _ = make_epoch_batches(srng, edges, cfg.batch_size)
+        for i in range(users.shape[0]):
+            rng, nrng, lrng = jax.random.split(rng, 3)
+            neg = sample_negatives(nrng, users[i], history, ds.num_item)
+            batch = shard_batch(
+                Batch(users[i], pos[i], neg, w[i], jnp.int32(i), None), mesh
+            )
+            params, opt_state, _ = step(params, opt_state, batch, lrng)
+    ue, ie = model.embeddings(params)
+    rank = sharded_rank(ue, ie, history, ds.num_user, 20, mesh)
+    m = gene_metrics(ds, rank, [20], split="test")
+    assert m[20]["recall"] > 0.6, m
