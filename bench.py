@@ -54,7 +54,7 @@ def main() -> None:
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
     params = model.init_params(init_rng)
-    opt_state = trainer.optimizer.init(params)
+    opt_state = trainer.init_opt_state(params)
 
     # Warm-up epoch: compile train scan + eval kernels.
     params, opt_state, rng, loss = trainer.train_epoch(params, opt_state, rng, 0)

@@ -135,6 +135,24 @@ class RecModel:
     def embeddings_stateful(self, params: Params, state):
         raise NotImplementedError
 
+    # --- row-sparse table API: params listed here are large tables whose
+    # per-step gradient is nonzero only on batch rows (trainable raw
+    # modality features, reference nn.Embedding.from_pretrained(freeze=
+    # False)). The trainer then computes row gradients directly and applies
+    # the exact-math row-sparse Adam (ops/indexed_adam.py) instead of
+    # materializing a full-table dense gradient every step. ---
+    table_params: Tuple[str, ...] = ()
+
+    def table_rows(self, batch: Batch):
+        """{table_name: (B,) row indices} this batch's loss touches."""
+        raise NotImplementedError
+
+    def loss_tables(self, dense_params: Params, table_rows_vals, batch: Batch,
+                    rng: jax.Array) -> jnp.ndarray:
+        """Loss with the table rows pre-gathered (table_rows_vals[name] =
+        table[rows]); identical math to ``loss``."""
+        raise NotImplementedError
+
     # --- optional hooks ---
     def pre_epoch(self, params: Params, rng: jax.Array, epoch: int) -> None:
         """Epoch-boundary host-orchestrated update (graph rebuilds etc.)."""

@@ -106,13 +106,17 @@ class COHESION(RecModel):
             return
         E = self._edge_u.shape[0]
         keep_len = int(E * (1.0 - self.dropout))
-        p = self._edge_w / self._edge_w.sum()
-        keep_idx = rs.choice(E, size=keep_len, replace=False, p=p)
-        mask = np.zeros((E,), np.float32)
-        mask[keep_idx] = 1.0
+        # degree-weighted without-replacement keep as an on-device Gumbel
+        # top-k — identical distribution to np.random.choice(p,
+        # replace=False); see FREEDOM.pre_epoch
+        key = jax.random.fold_in(jax.random.PRNGKey(92821), epoch)
+        scores = jnp.log(jnp.asarray(self._edge_w, jnp.float32)) + \
+            jax.random.gumbel(key, (E,))
+        keep_idx = jax.lax.top_k(scores, keep_len)[1]
+        mask = jnp.zeros((E,), jnp.float32).at[keep_idx].set(1.0)
         r, _, _ = masked_dense_r(
             jnp.asarray(self._edge_u), jnp.asarray(self._edge_i),
-            jnp.asarray(mask), self.num_user, self.num_item,
+            mask, self.num_user, self.num_item,
         )
         self.masked_r = r
 

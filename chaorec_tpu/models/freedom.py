@@ -66,6 +66,7 @@ class FREEDOM(RecModel):
         self._edge_u = np.asarray(graph.u_by_u)
         self._edge_i = np.asarray(graph.i_by_u)
         self._edge_w = np.asarray(graph.w_by_u, dtype=np.float64)
+        self._log_edge_w = jnp.log(jnp.asarray(graph.w_by_u, jnp.float32))
         # Row-gather operator blocks for the epoch's pruned graph
         # (n_layers <= 2 fast path; see _build_row_ops)
         self._rt = None
@@ -114,14 +115,19 @@ class FREEDOM(RecModel):
             return
         E = self._edge_u.shape[0]
         keep_len = int(E * (1.0 - self.dropout))
-        rs = np.random.default_rng(epoch * 6151 + 29)
-        p = self._edge_w / self._edge_w.sum()
-        keep_idx = rs.choice(E, size=keep_len, replace=False, p=p)
-        mask = np.zeros((E,), np.float32)
-        mask[keep_idx] = 1.0
+        # Degree-weighted sampling WITHOUT replacement (the reference's
+        # np.random.choice(p=norm_values, replace=False),
+        # Model/FREEDOM.py:148-150) as an on-device Gumbel top-k
+        # (Efraimidis-Spirakis): top keep_len of log(w) + Gumbel is exactly
+        # the successive weighted draw — same distribution, no 120 ms host
+        # multinomial per epoch.
+        key = jax.random.fold_in(jax.random.PRNGKey(6151), epoch)
+        scores = self._log_edge_w + jax.random.gumbel(key, (E,))
+        keep_idx = jax.lax.top_k(scores, keep_len)[1]
+        mask = jnp.zeros((E,), jnp.float32).at[keep_idx].set(1.0)
         r, _, _ = masked_dense_r(
             jnp.asarray(self._edge_u), jnp.asarray(self._edge_i),
-            jnp.asarray(mask), self.num_user, self.num_item,
+            mask, self.num_user, self.num_item,
         )
         # bf16 once per epoch: the per-step propagation reads this matrix
         # n_layers times; keeping it fp32 doubles the dominant HBM traffic
@@ -182,7 +188,20 @@ class FREEDOM(RecModel):
             h_rows = h[items]
         return u * scale, i * scale + h_rows
 
-    def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:
+    # The raw feature tables are trainable (reference
+    # nn.Embedding.from_pretrained(freeze=False), Model/FREEDOM.py:52-57)
+    # with row-sparse gradients: declared so the trainer uses the exact
+    # row-sparse Adam path (ops/indexed_adam.py) instead of materializing
+    # (I, 4096) dense gradients per step.
+    table_params = ("v_feat", "t_feat")
+
+    def table_rows(self, batch: Batch):
+        items = jnp.concatenate([batch.pos_items, batch.neg_items])
+        return {"v_feat": items, "t_feat": items}
+
+    def loss_tables(self, dense_params: Params, table_rows_vals, batch: Batch,
+                    rng: jax.Array) -> jnp.ndarray:
+        params = dense_params
         if self._rt is not None:
             b = batch.pos_items.shape[0]
             items = jnp.concatenate([batch.pos_items, batch.neg_items])
@@ -201,17 +220,26 @@ class FREEDOM(RecModel):
         def proj(feat_rows, w_key, b_key):
             return feat_rows @ params[w_key].T + params[b_key]
 
+        b = batch.pos_items.shape[0]
+        t_rows = table_rows_vals["t_feat"]
+        v_rows = table_rows_vals["v_feat"]
         mf_t = self._bpr(
             u,
-            proj(params["t_feat"][batch.pos_items], "text_trs_w", "text_trs_b"),
-            proj(params["t_feat"][batch.neg_items], "text_trs_w", "text_trs_b"),
+            proj(t_rows[:b], "text_trs_w", "text_trs_b"),
+            proj(t_rows[b:], "text_trs_w", "text_trs_b"),
             w)
         mf_v = self._bpr(
             u,
-            proj(params["v_feat"][batch.pos_items], "image_trs_w", "image_trs_b"),
-            proj(params["v_feat"][batch.neg_items], "image_trs_w", "image_trs_b"),
+            proj(v_rows[:b], "image_trs_w", "image_trs_b"),
+            proj(v_rows[b:], "image_trs_w", "image_trs_b"),
             w)
         return mf + self.reg_weight * (mf_t + mf_v)
+
+    def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:
+        dense = {k: v for k, v in params.items() if k not in self.table_params}
+        rows = self.table_rows(batch)
+        gathered = {n: params[n][rows[n]] for n in self.table_params}
+        return self.loss_tables(dense, gathered, batch, rng)
 
     def embeddings(self, params: Params):
         return self.forward(params)

@@ -106,6 +106,21 @@ class Trainer:
         labels = None
         return optax.adam(self.cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
 
+    def init_opt_state(self, params):
+        """Optimizer state; composite when the model declares row-sparse
+        table params: (adam_state_over_dense, {table: (m, v)}, count)."""
+        table_names = tuple(self.model.table_params)
+        if not table_names:
+            return self.optimizer.init(params)
+        from chaorec_tpu.ops.indexed_adam import init_table_state
+
+        dense = {k: v for k, v in params.items() if k not in table_names}
+        return (
+            self.optimizer.init(dense),
+            {n: init_table_state(params[n]) for n in table_names},
+            jnp.zeros((), jnp.int32),
+        )
+
     # ------------------------------------------------------------------
     def _build_epoch_fn(self) -> Callable:
         cfg = self.cfg
@@ -113,6 +128,11 @@ class Trainer:
         optimizer = self.optimizer
 
         stateful = self.model.stateful
+        table_names = tuple(self.model.table_params)
+        if table_names:
+            from chaorec_tpu.ops.indexed_adam import (
+                table_adam_update as row_adam_update,
+            )
         # "user_rows" models (VAE/diffusion) iterate shuffled users; the
         # reference feeds them dense rows via DiffusionData loaders
         # (main.py:202-218) instead of BPR triples.
@@ -146,16 +166,42 @@ class Trainer:
                         int_rng, u, history, num_item, cfg.neg_candidates
                     )
                 batch = Batch(u, p, neg, w, idx, int_items)
-                if stateful:
+                if table_names:
+                    # Row-sparse tables: gradients only for the gathered
+                    # rows (the dense table gradient never exists), exact
+                    # row-sparse Adam for the table update.
+                    adam_state, table_state, count = opt_state
+                    dense = {k: v for k, v in params.items()
+                             if k not in table_names}
+                    rows = model.table_rows(batch)
+                    gathered = {n: params[n][rows[n]] for n in table_names}
+                    loss, (g_dense, g_rows) = jax.value_and_grad(
+                        model.loss_tables, argnums=(0, 1)
+                    )(dense, gathered, batch, loss_rng)
+                    updates, adam_state = optimizer.update(
+                        g_dense, adam_state, dense)
+                    dense = optax.apply_updates(dense, updates)
+                    count = count + 1
+                    new_tables = {}
+                    new_tstate = {}
+                    for n in table_names:
+                        new_tables[n], new_tstate[n] = row_adam_update(
+                            params[n], table_state[n], rows[n], g_rows[n],
+                            count, cfg.learning_rate)
+                    params = {**dense, **new_tables}
+                    opt_state = (adam_state, new_tstate, count)
+                elif stateful:
                     (loss, mstate), grads = jax.value_and_grad(
                         model.loss_stateful, has_aux=True
                     )(params, mstate, batch, loss_rng)
+                    updates, opt_state = optimizer.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
                 else:
                     loss, grads = jax.value_and_grad(model.loss)(
                         params, batch, loss_rng
                     )
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                    updates, opt_state = optimizer.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
                 return (params, opt_state, mstate, rng), loss
 
             (params, opt_state, mstate, rng), losses = jax.lax.scan(
@@ -257,7 +303,7 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         rng, init_rng = jax.random.split(rng)
         params = self.model.init_params(init_rng)
-        opt_state = self.optimizer.init(params)
+        opt_state = self.init_opt_state(params)
         early_stopping = EarlyStopping(patience=cfg.patience, verbose=True)
 
         # --- checkpoint/resume (capability add; see train/checkpoint.py)
