@@ -50,6 +50,45 @@ def _rank_chunk(
     return idx.astype(jnp.int32) + num_user
 
 
+@partial(jax.jit, static_argnames=("topk", "num_user"))
+def _rank_chunk_dense_mask(
+    user_emb_chunk: jnp.ndarray,  # (C, D)
+    item_emb: jnp.ndarray,  # (I, D)
+    seen_chunk: jnp.ndarray,  # (C, I) uint8 interaction indicator
+    topk: int,
+    num_user: int,
+) -> jnp.ndarray:
+    """Same semantics as ``_rank_chunk`` with the history mask applied as
+    an elementwise select over a dense 0/1 seen matrix instead of a
+    scatter. XLA lowers the per-row scatter to a sort + 1-D scatter (3
+    GiB/s measured); the dense select fuses into the scoring matmul's
+    epilogue and runs at full HBM rate. Used when the (U, I) uint8 mask is
+    affordable (see Trainer._seen_mask)."""
+    scores = jnp.dot(
+        user_emb_chunk.astype(jnp.bfloat16),
+        item_emb.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(seen_chunk != 0, jnp.float32(1e-6), scores)
+    _, idx = jax.lax.top_k(scores, topk)
+    return idx.astype(jnp.int32) + num_user
+
+
+@partial(jax.jit, static_argnames=("topk", "num_user", "mask_value"))
+def mask_and_topk_dense(
+    scores: jnp.ndarray,  # (C, I)
+    seen_chunk: jnp.ndarray,  # (C, I) uint8
+    topk: int,
+    num_user: int,
+    mask_value: float = 1e-6,
+) -> jnp.ndarray:
+    """Dense-mask variant of ``mask_and_topk`` (same semantics; the
+    elementwise select replaces the slow per-row scatter)."""
+    scores = jnp.where(seen_chunk != 0, jnp.float32(mask_value), scores)
+    _, idx = jax.lax.top_k(scores, topk)
+    return idx.astype(jnp.int32) + num_user
+
+
 @partial(jax.jit, static_argnames=("topk", "num_user", "mask_value"))
 def mask_and_topk(
     scores: jnp.ndarray,  # (C, I) raw scores
@@ -77,6 +116,7 @@ def gene_ranklist(
     num_user: int,
     topk: int = 50,
     user_chunk: int = 4096,
+    seen_mask: Optional[jnp.ndarray] = None,  # (U, I) uint8, optional
 ) -> jnp.ndarray:
     """Rank the full catalog for every user. Returns (num_user, topk) int32
     of *global* item ids (0-based id + num_user), like the reference's
@@ -86,13 +126,24 @@ def gene_ranklist(
     outs = []
     for start in range(0, n, user_chunk):
         end = min(start + user_chunk, n)
-        outs.append(
-            _rank_chunk(
-                user_emb[start:end],
-                item_emb,
-                history_values[start:end],
-                topk,
-                num_user,
+        if seen_mask is not None:
+            outs.append(
+                _rank_chunk_dense_mask(
+                    user_emb[start:end],
+                    item_emb,
+                    seen_mask[start:end],
+                    topk,
+                    num_user,
+                )
             )
-        )
+        else:
+            outs.append(
+                _rank_chunk(
+                    user_emb[start:end],
+                    item_emb,
+                    history_values[start:end],
+                    topk,
+                    num_user,
+                )
+            )
     return jnp.concatenate(outs, axis=0)

@@ -34,6 +34,7 @@ from chaorec_tpu.graphs.knn import ELLGraph, build_knn_graph
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.graphs.user_graph import build_user_cooccurrence, topk_sample
 from chaorec_tpu.models.base import Batch, Params, RecModel
+from chaorec_tpu.ops.mxu import bdot
 from chaorec_tpu.ops.init import torch_linear_init, xavier_normal
 from chaorec_tpu.ops.losses import cosine_rows, l2norm, masked_mean
 
@@ -130,14 +131,14 @@ class COHESION(RecModel):
         tf = jnp.sqrt(jnp.abs((idf * idf + tf * tf) / 2.0) + 1e-8)
         x = l2norm(jnp.concatenate([params[f"{mod}_preference"], tf], axis=0))
         ego = x
-        r = self.masked_r.astype(jnp.float32)
+        r = self.masked_r
         cu, ci = x[: self.num_user], x[self.num_user:]
         acc_u, acc_i = cu, ci
         ego_u, ego_i = cu, ci
         for _ in range(self.num_layer):
             cu, ci = (
-                jnp.dot(r, ci, preferred_element_type=jnp.float32),
-                jnp.dot(r.T, cu, preferred_element_type=jnp.float32),
+                bdot(r, ci),
+                bdot(r.T, cu),
             )
             wu = cosine_rows(cu, ego_u)
             wi = cosine_rows(ci, ego_i)

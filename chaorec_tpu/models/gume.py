@@ -28,6 +28,7 @@ from chaorec_tpu.models.base import Batch, Params, RecModel
 from chaorec_tpu.models.lattice import dense_knn_sim, dense_norm_laplacian
 from chaorec_tpu.models.slmrec import in_batch_ce
 from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
+from chaorec_tpu.ops.mxu import bdot
 from chaorec_tpu.ops.losses import l2norm, masked_mean
 
 
@@ -80,8 +81,15 @@ class GUME(RecModel):
         deg_i = a_ui.sum(0) + a_ii.sum(1)
         du = np.where(deg_u > 0, deg_u ** -0.5, 0.0)
         di = np.where(deg_i > 0, deg_i ** -0.5, 0.0)
-        self.r_norm = jnp.asarray(a_ui * du[:, None] * di[None, :])
-        self.ii_norm = jnp.asarray(a_ii * di[:, None] * di[None, :])
+        # bf16 adjacency stores + bf16-input MXU propagation (framework
+        # numerics policy, ops/mxu.py): halves HBM traffic and ~6x's the
+        # MXU rate of the per-step tower forwards vs fp32
+        self.r_norm = jnp.asarray(a_ui * du[:, None] * di[None, :],
+                                  jnp.bfloat16)
+        self.ii_norm = jnp.asarray(a_ii * di[:, None] * di[None, :],
+                                   jnp.bfloat16)
+        self.image_adj = self.image_adj.astype(jnp.bfloat16)
+        self.text_adj = self.text_adj.astype(jnp.bfloat16)
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 14)
@@ -116,9 +124,8 @@ class GUME(RecModel):
         cu, ci = xu, xi
         for _ in range(self.n_ui_layers):
             cu, ci = (
-                jnp.dot(r, ci, preferred_element_type=jnp.float32),
-                jnp.dot(r.T, cu, preferred_element_type=jnp.float32)
-                + jnp.dot(ii, ci, preferred_element_type=jnp.float32),
+                bdot(r, ci),
+                bdot(r.T, cu) + bdot(ii, ci),
             )
             acc_u = acc_u + cu
             acc_i = acc_i + ci
@@ -143,13 +150,13 @@ class GUME(RecModel):
 
         def conv_ii(adj, x):
             for _ in range(self.n_layers):
-                x = jnp.dot(adj, x, preferred_element_type=jnp.float32)
+                x = bdot(adj, x)
             return x
 
         exp_img_i = conv_ii(self.image_adj, img_item)
         exp_txt_i = conv_ii(self.text_adj, txt_item)
-        exp_img_u = jnp.dot(self.r_norm, exp_img_i, preferred_element_type=jnp.float32)
-        exp_txt_u = jnp.dot(self.r_norm, exp_txt_i, preferred_element_type=jnp.float32)
+        exp_img_u = bdot(self.r_norm, exp_img_i)
+        exp_txt_u = bdot(self.r_norm, exp_txt_i)
 
         ext_img_u, ext_img_i = self._conv_ui(params["extended_image_user"], exp_img_i)
         ext_txt_u, ext_txt_i = self._conv_ui(params["extended_text_user"], exp_txt_i)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
+from chaorec_tpu.ops.mxu import bdot
 from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
 from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg, l2norm
 
@@ -104,7 +105,7 @@ class LATTICE(RecModel):
     def _forward(self, params: Params, item_adj):
         h = params["item_embedding"]
         for _ in range(self.mm_layers):
-            h = jnp.dot(item_adj, h, preferred_element_type=jnp.float32)
+            h = bdot(item_adj, h)
         xu, xi = params["user_embedding"], params["item_embedding"]
         acc_u, acc_i = xu, xi
         for _ in range(self.n_layers):

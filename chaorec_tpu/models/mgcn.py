@@ -27,6 +27,7 @@ from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
 from chaorec_tpu.models.lattice import dense_knn_sim, dense_norm_laplacian
 from chaorec_tpu.models.slmrec import in_batch_ce
+from chaorec_tpu.ops.mxu import bdot
 from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
 from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg, l2norm
 
@@ -48,8 +49,8 @@ class MGCN(RecModel):
         self._v_init = v_feat
         self._t_init = t_feat
         k = min(self.knn_k, num_item)
-        self.image_adj = dense_norm_laplacian(dense_knn_sim(v_feat, k))
-        self.text_adj = dense_norm_laplacian(dense_knn_sim(t_feat, k))
+        self.image_adj = dense_norm_laplacian(dense_knn_sim(v_feat, k)).astype(jnp.bfloat16)
+        self.text_adj = dense_norm_laplacian(dense_knn_sim(t_feat, k)).astype(jnp.bfloat16)
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 12)
@@ -95,16 +96,13 @@ class MGCN(RecModel):
         content_u, content_i = acc_u * s, acc_i * s
 
         for _ in range(self.n_modal_layers):
-            image_item = jnp.dot(self.image_adj, image_item,
-                                 preferred_element_type=jnp.float32)
-            text_item = jnp.dot(self.text_adj, text_item,
-                                preferred_element_type=jnp.float32)
+            image_item = bdot(self.image_adj, image_item)
+            text_item = bdot(self.text_adj, text_item)
         # modal user views via the normalized R block
         g = self.graph
         if g.use_dense:
-            r = g.dense_r.astype(jnp.float32)
-            image_user = jnp.dot(r, image_item, preferred_element_type=jnp.float32)
-            text_user = jnp.dot(r, text_item, preferred_element_type=jnp.float32)
+            image_user = bdot(g.dense_r, image_item)
+            text_user = bdot(g.dense_r, text_item)
         else:
             image_user = jax.ops.segment_sum(
                 g.w_by_u[:, None] * image_item[g.i_by_u], g.u_by_u,

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
 from chaorec_tpu.models.lattice import dense_knn_sim, dense_norm_laplacian
+from chaorec_tpu.ops.mxu import bdot
 from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
 from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg, l2norm
 
@@ -96,8 +97,8 @@ class MICRO(RecModel):
     def _forward(self, params: Params, adjs):
         img_adj, txt_adj = adjs
         items = params["item_embedding"]
-        image_item = jnp.dot(img_adj, items, preferred_element_type=jnp.float32)
-        text_item = jnp.dot(txt_adj, items, preferred_element_type=jnp.float32)
+        image_item = bdot(img_adj, items)
+        text_item = bdot(txt_adj, items)
         att = jnp.concatenate(
             [self._query(params, image_item), self._query(params, text_item)], -1
         )

@@ -26,6 +26,7 @@ from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
 from chaorec_tpu.models.lattice import dense_knn_sim, dense_norm_laplacian
 from chaorec_tpu.models.slmrec import in_batch_ce
+from chaorec_tpu.ops.mxu import bdot
 from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
 from chaorec_tpu.ops.losses import l2norm, masked_mean
 
@@ -51,6 +52,10 @@ class SMORE(RecModel):
         self.image_adj = dense_norm_laplacian(dense_knn_sim(v_feat, k))
         self.text_adj = dense_norm_laplacian(dense_knn_sim(t_feat, k))
         self.fusion_adj = jnp.maximum(self.image_adj, self.text_adj)
+        # bf16 adjacency stores + bf16-input MXU propagation (ops/mxu.py)
+        self.image_adj = self.image_adj.astype(jnp.bfloat16)
+        self.text_adj = self.text_adj.astype(jnp.bfloat16)
+        self.fusion_adj = self.fusion_adj.astype(jnp.bfloat16)
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 16)
@@ -108,8 +113,7 @@ class SMORE(RecModel):
         """normalized R @ item-view (user side)."""
         g = self.graph
         if g.use_dense:
-            return jnp.dot(g.dense_r.astype(jnp.float32), x_items,
-                           preferred_element_type=jnp.float32)
+            return bdot(g.dense_r, x_items)
         return jax.ops.segment_sum(
             g.w_by_u[:, None] * x_items[g.i_by_u], g.u_by_u,
             num_segments=self.num_user, indices_are_sorted=True)
@@ -133,9 +137,9 @@ class SMORE(RecModel):
         content_u, content_i = acc_u * s, acc_i * s
 
         for _ in range(self.n_modal_layers):
-            img_i = jnp.dot(self.image_adj, img_i, preferred_element_type=jnp.float32)
-            txt_i = jnp.dot(self.text_adj, txt_i, preferred_element_type=jnp.float32)
-            fus_i = jnp.dot(self.fusion_adj, fus_i, preferred_element_type=jnp.float32)
+            img_i = bdot(self.image_adj, img_i)
+            txt_i = bdot(self.text_adj, txt_i)
+            fus_i = bdot(self.fusion_adj, fus_i)
         img_u = self._r_matvec(img_i)
         txt_u = self._r_matvec(txt_i)
         fus_u = self._r_matvec(fus_i)

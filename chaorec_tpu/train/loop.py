@@ -90,6 +90,22 @@ class Trainer:
         self.optimizer = optimizer or self.make_optimizer()
         self.edges = jnp.asarray(dataset.train_edges)
         self.history = jnp.asarray(dataset.history.values)
+        # Dense (U, I) uint8 history indicator for eval masking: the
+        # elementwise select fuses into the scoring matmul; the scatter
+        # fallback lowers to a 3 GiB/s sort+scatter (see eval/ranking.py).
+        # Gated on memory (uint8 bytes == U*I).
+        self._seen_mask = None
+        if dataset.num_user * dataset.num_item <= 2_000_000_000:
+            # built from the padded history table (NOT train_edges) so the
+            # dense mask marks exactly what the scatter path masks — the
+            # user_item_dict.npy contents where that file exists
+            hv, hl = dataset.history.values, dataset.history.lengths
+            valid = np.arange(hv.shape[1])[None, :] < hl[:, None]
+            rows = np.broadcast_to(
+                np.arange(dataset.num_user)[:, None], hv.shape)[valid]
+            seen = np.zeros((dataset.num_user, dataset.num_item), np.uint8)
+            seen[rows, hv[valid]] = 1
+            self._seen_mask = jnp.asarray(seen)
         self._epoch_fn = None
         self.model_state = model.init_state(jax.random.PRNGKey(cfg.seed + 1))
         # Model is a pytree argument, not a closure: keeps graph buffers out
@@ -246,6 +262,7 @@ class Trainer:
                 self.dataset.num_user,
                 topk=self.cfg.rank_topk,
                 user_chunk=self.cfg.eval_user_chunk,
+                seen_mask=self._seen_mask,
             )
         from chaorec_tpu.eval.metrics import gene_metrics_pair_async
 
@@ -269,7 +286,7 @@ class Trainer:
 
     def _rank_from_scores(self, params) -> jnp.ndarray:
         """Chunked full-catalog ranking for score-mode models."""
-        from chaorec_tpu.eval.ranking import mask_and_topk
+        from chaorec_tpu.eval.ranking import mask_and_topk, mask_and_topk_dense
 
         if not hasattr(self, "_score_fn"):
             if self.model.stateful and hasattr(self.model, "score_users_stateful"):
@@ -291,10 +308,16 @@ class Trainer:
             end = min(start + chunk, n)
             ids = jnp.arange(start, end, dtype=jnp.int32)
             scores = self._score_fn(self.model, params, self.model_state, ids)
-            outs.append(
-                mask_and_topk(scores, self.history[start:end], topk, n,
-                              mask_value)
-            )
+            if self._seen_mask is not None:
+                outs.append(
+                    mask_and_topk_dense(scores, self._seen_mask[start:end],
+                                        topk, n, mask_value)
+                )
+            else:
+                outs.append(
+                    mask_and_topk(scores, self.history[start:end], topk, n,
+                                  mask_value)
+                )
         return jnp.concatenate(outs, axis=0)
 
     # ------------------------------------------------------------------

@@ -112,3 +112,31 @@ def test_gene_metrics_pair_matches_single_calls(tiny_dataset):
     t_ref = gene_metrics(tiny_dataset, rank, ks, "test")
     assert v == v_ref
     assert t == t_ref
+
+
+def test_dense_mask_ranking_matches_scatter():
+    """_rank_chunk_dense_mask == _rank_chunk for the same history."""
+    import jax.numpy as jnp
+    from chaorec_tpu.eval.ranking import (
+        _rank_chunk, _rank_chunk_dense_mask, mask_and_topk,
+        mask_and_topk_dense,
+    )
+
+    rs = np.random.default_rng(5)
+    nu, ni, d, h = 30, 25, 8, 6
+    ue = jnp.asarray(rs.standard_normal((nu, d)).astype(np.float32))
+    ie = jnp.asarray(rs.standard_normal((ni, d)).astype(np.float32))
+    hist = np.full((nu, h), ni, np.int32)
+    seen = np.zeros((nu, ni), np.uint8)
+    for u in range(nu):
+        items = rs.choice(ni, size=rs.integers(0, h), replace=False)
+        hist[u, : len(items)] = np.sort(items)
+        seen[u, items] = 1
+    a = _rank_chunk(ue, ie, jnp.asarray(hist), 10, nu)
+    b = _rank_chunk_dense_mask(ue, ie, jnp.asarray(seen), 10, nu)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    scores = jnp.asarray(rs.standard_normal((nu, ni)).astype(np.float32))
+    c = mask_and_topk(scores, jnp.asarray(hist), 10, nu, -np.inf)
+    e = mask_and_topk_dense(scores, jnp.asarray(seen), 10, nu, -np.inf)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(e))
