@@ -134,10 +134,23 @@ class Config:
     extra: Dict[str, Any] = field(default_factory=dict)
 
     def replace(self, **kwargs: Any) -> "Config":
-        """Immutable update; unknown keys land in ``extra``."""
+        """Immutable update; unknown keys land in ``extra``.
+
+        YAML 1.1 parses dot-less scientific notation ("1e-5") as a STRING
+        (e.g. Model_YAML/SMORE.yaml reg_weight axis); coerce string values
+        to the field's numeric type so grid combos behave like typed CLI
+        flags."""
         known = {f.name for f in dataclasses.fields(self)}
         direct = {k: v for k, v in kwargs.items() if k in known}
         unknown = {k: v for k, v in kwargs.items() if k not in known}
+        for k, v in list(direct.items()):
+            cur = getattr(self, k)
+            if isinstance(v, str) and isinstance(cur, (int, float)) \
+                    and not isinstance(cur, bool):
+                try:
+                    direct[k] = type(cur)(float(v))
+                except ValueError:
+                    pass
         new = dataclasses.replace(self, **direct)
         if unknown:
             new.extra = {**self.extra, **unknown}

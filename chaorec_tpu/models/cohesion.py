@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from chaorec_tpu.graphs.dropout import masked_dense_r
-from chaorec_tpu.graphs.knn import ELLGraph, build_knn_graph
+from chaorec_tpu.graphs.knn import ELLGraph, build_knn_graph, gather_weighted_sum
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.graphs.user_graph import build_user_cooccurrence, topk_sample
 from chaorec_tpu.models.base import Batch, Params, RecModel
@@ -121,46 +121,63 @@ class COHESION(RecModel):
         )
         self.masked_r = r
 
-    def _tower(self, params, mod, feat):
-        d = self.dim_latent
+    def _tower_input(self, params, mod, feat):
         tf = jax.nn.leaky_relu(
             feat @ params[f"{mod}_mlp_w1"].T + params[f"{mod}_mlp_b1"], 0.01
         )
         tf = tf @ params[f"{mod}_mlp_w2"].T + params[f"{mod}_mlp_b2"]
         idf = params["id_feat"]
         tf = jnp.sqrt(jnp.abs((idf * idf + tf * tf) / 2.0) + 1e-8)
-        x = l2norm(jnp.concatenate([params[f"{mod}_preference"], tf], axis=0))
-        ego = x
+        return l2norm(jnp.concatenate([params[f"{mod}_preference"], tf], axis=0))
+
+    def _towers(self, params):
+        """All three towers batched along the feature axis: the per-layer
+        adjacency matmuls read the (U, I) matrix ONCE for id+v+t instead
+        of three times (the towers share ``masked_r`` and the epoch is
+        HBM-bound on it); the cosine layer-weighting is computed per
+        d-block so the split results equal the per-tower ones exactly."""
+        d = self.dim_latent
+        x = jnp.concatenate(
+            [self._tower_input(params, "id", params["id_feat"]),
+             self._tower_input(params, "v", self.v_feat),
+             self._tower_input(params, "t", self.t_feat)], axis=1)
         r = self.masked_r
         cu, ci = x[: self.num_user], x[self.num_user:]
         acc_u, acc_i = cu, ci
         ego_u, ego_i = cu, ci
+
+        def block_cosine(a, b, n):
+            # == cosine_rows per d-block (same safe_norm eps semantics)
+            a3 = a.reshape(n, 3, d)
+            b3 = b.reshape(n, 3, d)
+            return cosine_rows(a3, b3)[:, :, None]  # (n, 3, 1)
+
         for _ in range(self.num_layer):
             cu, ci = (
                 bdot(r, ci),
                 bdot(r.T, cu),
             )
-            wu = cosine_rows(cu, ego_u)
-            wi = cosine_rows(ci, ego_i)
-            cu = wu[:, None] * cu
-            ci = wi[:, None] * ci
+            wu = block_cosine(cu, ego_u, self.num_user)
+            wi = block_cosine(ci, ego_i, self.num_item)
+            cu = (cu.reshape(-1, 3, d) * wu).reshape(-1, 3 * d)
+            ci = (ci.reshape(-1, 3, d) * wi).reshape(-1, 3 * d)
             acc_u = acc_u + cu
             acc_i = acc_i + ci
         return acc_u, acc_i
 
     def forward(self, params: Params):
-        id_u, id_i = self._tower(params, "id", params["id_feat"])
-        id_u, id_i = jax.lax.stop_gradient(id_u), jax.lax.stop_gradient(id_i)
-        v_u, v_i = self._tower(params, "v", self.v_feat)
-        t_u, t_i = self._tower(params, "t", self.t_feat)
-        user_rep = jnp.concatenate([id_u, v_u, t_u], axis=1)  # (U, 3d)
-        item_rep = jnp.concatenate([id_i, v_i, t_i], axis=1)
+        d = self.dim_latent
+        acc_u, acc_i = self._towers(params)
+        # id tower detached (reference id_rep.data, Model/COHESION.py:319-325)
+        id_u = jax.lax.stop_gradient(acc_u[:, :d])
+        id_i = jax.lax.stop_gradient(acc_i[:, :d])
+        user_rep = jnp.concatenate([id_u, acc_u[:, d:]], axis=1)  # (U, 3d)
+        item_rep = jnp.concatenate([id_i, acc_i[:, d:]], axis=1)
         h_i = item_rep
         for _ in range(self.mm_layers):
             h_i = self.mm_graph.propagate(h_i)
-        h_u = jnp.einsum(
-            "uk,ukd->ud", self.user_nbr_w, user_rep[self.user_nbr_idx]
-        )
+        h_u = gather_weighted_sum(user_rep, self.user_nbr_w,
+                                  self.user_nbr_idx)
         return user_rep + h_u, item_rep + h_i
 
     def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
+from chaorec_tpu.graphs.knn import gather_weighted_sum
 from chaorec_tpu.models.base import Batch, Params, RecModel
 from chaorec_tpu.ops import diffusion as diff
 from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
@@ -65,8 +66,7 @@ class ModalAdj(NamedTuple):
 
 def modal_prop(adj: ModalAdj, xu: jnp.ndarray, xi: jnp.ndarray):
     """One hop of ``spmm(modal_adj, concat([xu, xi]))`` split into parts."""
-    gathered = xi[adj.topk]  # (U, K, E)
-    new_u = jnp.einsum("uk,uke->ue", adj.v_ui, gathered)
+    new_u = gather_weighted_sum(xi, adj.v_ui, adj.topk)
     new_u = new_u + adj.self_u[:, None] * xu
     contrib = (adj.v_iu[:, :, None] * xu[:, None, :]).reshape(-1, xu.shape[-1])
     new_i = jnp.zeros_like(xi).at[adj.topk.reshape(-1)].add(contrib)

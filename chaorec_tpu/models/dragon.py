@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from chaorec_tpu.graphs.knn import ELLGraph, build_knn_graph
+from chaorec_tpu.graphs.knn import ELLGraph, build_knn_graph, gather_weighted_sum
 from chaorec_tpu.models.base import Batch, Params, RecModel
 from chaorec_tpu.models.dualgnn import DualGNN
 from chaorec_tpu.ops.losses import bpr_loss, masked_mean
@@ -49,9 +49,8 @@ class DRAGON(DualGNN):
         user_rep = jnp.concatenate(
             [w[:, 0] * vu, w[:, 1] * tu], axis=1
         )  # (U, 2d)
-        h_u = jnp.einsum(
-            "uk,ukd->ud", self.user_nbr_w, user_rep[self.user_nbr_idx]
-        )
+        h_u = gather_weighted_sum(user_rep, self.user_nbr_w,
+                                  self.user_nbr_idx)
         user_rep = user_rep + h_u
         h_i = item_rep
         for _ in range(self.n_mm_layers):

@@ -23,6 +23,7 @@ import numpy as np
 
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.graphs.user_graph import build_user_cooccurrence, topk_sample
+from chaorec_tpu.graphs.knn import gather_weighted_sum
 from chaorec_tpu.models.base import Batch, Params, RecModel
 from chaorec_tpu.ops.init import torch_linear_init, xavier_normal
 from chaorec_tpu.ops.losses import bpr_loss, l2norm, masked_mean
@@ -94,9 +95,8 @@ class DualGNN(RecModel):
         user_rep = jnp.squeeze(
             jnp.matmul(stacked, params["weight_u"]), axis=2
         )
-        h_u1 = jnp.einsum(
-            "uk,ukd->ud", self.user_nbr_w, user_rep[self.user_nbr_idx]
-        )
+        h_u1 = gather_weighted_sum(user_rep, self.user_nbr_w,
+                                   self.user_nbr_idx)
         return user_rep + h_u1, item_rep
 
     def pre_epoch(self, params, rng, epoch: int) -> None:

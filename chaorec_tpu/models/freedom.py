@@ -178,9 +178,11 @@ class FREEDOM(RecModel):
                             preferred_element_type=jnp.float32)
         if self.mm_layers == 1:
             # one-hop mm graph: gather only the batch items' neighbor rows
+            from chaorec_tpu.graphs.knn import gather_weighted_sum
+
             nbr = self.mm_graph.indices[items]  # (B, K)
             wgt = self.mm_graph.weights[items]
-            h_rows = jnp.einsum("bk,bkd->bd", wgt, xi[nbr])
+            h_rows = gather_weighted_sum(xi, wgt, nbr)
         else:
             h = xi
             for _ in range(self.mm_layers):

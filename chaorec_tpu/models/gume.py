@@ -146,8 +146,6 @@ class GUME(RecModel):
         img_item = items * img_space
         txt_item = items * txt_space
 
-        ext_id_u, ext_id_i = self._conv_ui(params["user_embedding"], items)
-
         def conv_ii(adj, x):
             for _ in range(self.n_layers):
                 x = bdot(adj, x)
@@ -155,13 +153,25 @@ class GUME(RecModel):
 
         exp_img_i = conv_ii(self.image_adj, img_item)
         exp_txt_i = conv_ii(self.text_adj, txt_item)
-        exp_img_u = bdot(self.r_norm, exp_img_i)
-        exp_txt_u = bdot(self.r_norm, exp_txt_i)
 
-        ext_img_u, ext_img_i = self._conv_ui(params["extended_image_user"], exp_img_i)
-        ext_txt_u, ext_txt_i = self._conv_ui(params["extended_text_user"], exp_txt_i)
-        ext_it_u = (ext_img_u + ext_txt_u) / 2
-        ext_it_i = (ext_img_i + ext_txt_i) / 2
+        # The three _conv_ui towers and the two R-mapped modal user views
+        # all multiply by the SAME (U, I) adjacency — and the epoch is
+        # HBM-bound on reading it (~880 MB x ~60 reads/step on sports).
+        # Batch them along the feature axis: one R read serves all towers
+        # per layer; layer-mean propagation is columnwise-independent so
+        # the split results are exactly the per-tower results.
+        exp_u = bdot(self.r_norm, jnp.concatenate([exp_img_i, exp_txt_i], 1))
+        exp_img_u, exp_txt_u = jnp.split(exp_u, 2, axis=1)
+
+        cat_u = jnp.concatenate(
+            [params["user_embedding"], params["extended_image_user"],
+             params["extended_text_user"]], axis=1)
+        cat_i = jnp.concatenate([items, exp_img_i, exp_txt_i], axis=1)
+        au, ai = self._conv_ui(cat_u, cat_i)
+        ext_id_u, ext_img_u2, ext_txt_u2 = jnp.split(au, 3, axis=1)
+        ext_id_i, ext_img_i2, ext_txt_i2 = jnp.split(ai, 3, axis=1)
+        ext_it_u = (ext_img_u2 + ext_txt_u2) / 2
+        ext_it_i = (ext_img_i2 + ext_txt_i2) / 2
 
         def query(x):
             return jnp.tanh(x @ params["sep_w1"].T + params["sep_b1"]) @ params["sep_w2"].T

@@ -71,3 +71,30 @@ def test_knn_graph_topk_neighbors():
         for j in range(5)
     )
     np.testing.assert_allclose(out[n], want, rtol=1e-4, atol=1e-5)
+
+
+def test_gather_weighted_sum_grads_match_naive():
+    """Custom sorted-segment-sum VJP == autodiff of the naive einsum."""
+    import jax
+    import jax.numpy as jnp
+    from chaorec_tpu.graphs.knn import gather_weighted_sum
+
+    rs = np.random.default_rng(9)
+    n_x, n, k, d = 17, 11, 4, 6
+    x = jnp.asarray(rs.standard_normal((n_x, d)).astype(np.float32))
+    w = jnp.asarray(rs.standard_normal((n, k)).astype(np.float32))
+    idx = jnp.asarray(rs.integers(0, n_x, (n, k)).astype(np.int32))
+    g = jnp.asarray(rs.standard_normal((n, d)).astype(np.float32))
+
+    def naive(x, w):
+        return jnp.einsum("nk,nkd->nd", w, x[idx])
+
+    out = gather_weighted_sum(x, w, idx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(naive(x, w)),
+                               rtol=1e-6)
+    f_custom = lambda x, w: jnp.vdot(gather_weighted_sum(x, w, idx), g)
+    f_naive = lambda x, w: jnp.vdot(naive(x, w), g)
+    gx_c, gw_c = jax.grad(f_custom, argnums=(0, 1))(x, w)
+    gx_n, gw_n = jax.grad(f_naive, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_n), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_n), rtol=1e-5)

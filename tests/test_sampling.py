@@ -73,3 +73,14 @@ def test_membership_paths_identical():
     finally:
         sampling._BCAST_MAX_H = old
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_config_coerces_yaml_string_numbers():
+    """YAML 1.1 parses '1e-5' as a string (Model_YAML/SMORE.yaml axis);
+    Config.replace coerces to the field's numeric type."""
+    from chaorec_tpu.config import Config
+
+    c = Config().replace(reg_weight="1e-5", n_layers="3", aggr_mode="add")
+    assert isinstance(c.reg_weight, float) and c.reg_weight == 1e-5
+    assert isinstance(c.n_layers, int) and c.n_layers == 3
+    assert c.aggr_mode == "add"
