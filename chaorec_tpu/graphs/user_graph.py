@@ -46,14 +46,19 @@ def build_user_cooccurrence(
     idx_out = np.zeros((num_user, topk), np.int32)
     cnt_out = np.zeros((num_user, topk), np.float32)
 
-    @jax.jit
-    def chunk_top(block):
-        co = jnp.dot(block, bj.T, preferred_element_type=jnp.float32)
-        return jax.lax.top_k(co, topk + 1)  # +1 to drop self
+    # b passed as an argument, never closed over: a closure would embed
+    # the (U, I) dense matrix into the lowered HLO as a constant (1.76 GB
+    # on sports - oversized compile payloads on the remote-compile path)
+    chunk_top = jax.jit(
+        lambda block, mat: jax.lax.top_k(
+            jnp.dot(block, mat.T, preferred_element_type=jnp.float32),
+            topk + 1,  # +1 to drop self
+        )
+    )
 
     for start in range(0, num_user, row_chunk):
         end = min(start + row_chunk, num_user)
-        vals, idx = chunk_top(bj[start:end])
+        vals, idx = chunk_top(bj[start:end], bj)
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         # drop self-matches (self always has max count for its own row)

@@ -27,6 +27,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from chaorec_tpu.models.base import Batch, RecModel
 
 
+def parse_mesh_spec(spec: str) -> Mesh:
+    """Build a Mesh from the CLI's ``--mesh_shape`` string, e.g.
+    "dp=4,mp=2" (axes default to 1 when omitted)."""
+    parts = dict(p.split("=") for p in spec.replace(" ", "").split(",") if p)
+    dp = int(parts.get("dp", 1))
+    mp = int(parts.get("mp", 1))
+    return make_mesh(dp * mp, mp=mp)
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     mp: Optional[int] = None,

@@ -326,6 +326,17 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         rng, init_rng = jax.random.split(rng)
         params = self.model.init_params(init_rng)
+        if cfg.mesh_shape:
+            # Mesh training (--mesh_shape "dp=4,mp=2"): row-shard the 2-D
+            # parameter tables over "mp" and let XLA propagate shardings
+            # through the jitted epoch scan, inserting the ICI collectives
+            # (see parallel/mesh.py; validated on the virtual CPU mesh in
+            # tests/test_parallel.py).
+            from chaorec_tpu.parallel.mesh import parse_mesh_spec, shard_params
+
+            self.mesh = parse_mesh_spec(cfg.mesh_shape)
+            logging.info("mesh training enabled: %s", self.mesh)
+            params = shard_params(params, self.mesh)
         opt_state = self.init_opt_state(params)
         early_stopping = EarlyStopping(patience=cfg.patience, verbose=True)
 

@@ -123,3 +123,16 @@ def test_sharded_training_learns(tiny_dataset):
     rank = sharded_rank(ue, ie, history, ds.num_user, 20, mesh)
     m = gene_metrics(ds, rank, [20], split="test")
     assert m[20]["recall"] > 0.6, m
+
+
+def test_cli_mesh_shape_flag(tiny_dataset):
+    """--mesh_shape drives the standard Trainer over a mesh end-to-end:
+    same run loop, sharded parameter tables, metrics computed normally."""
+    from chaorec_tpu.train.loop import Trainer
+
+    cfg = Config(Model="LightGCN", batch_size=64, num_epoch=12, dim_E=16,
+                 learning_rate=0.05, reg_weight=1e-4, n_layers=2,
+                 patience=12, mesh_shape="dp=4,mp=2")
+    model = build_model(cfg, tiny_dataset)
+    best = Trainer(model, tiny_dataset, cfg).run()
+    assert best[20]["recall"] > 0.55, best
