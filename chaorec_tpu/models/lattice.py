@@ -89,7 +89,10 @@ class LATTICE(RecModel):
         # item_adj buffer; epoch's first batch overwrites it.
         w = jax.nn.softmax(jnp.asarray([0.5, 0.5]))
         original = w[0] * self.image_original_adj + w[1] * self.text_original_adj
-        return original
+        # bf16 carried state: bdot casts per STEP otherwise (the fp32->bf16
+        # cast of the (I, I) adjacency inside the scan costs ~1.2 GB of HBM
+        # traffic per step on microlens)
+        return original.astype(jnp.bfloat16)
 
     def _build_item_adj(self, params: Params) -> jnp.ndarray:
         image_feats = params["v_feat"] @ params["image_trs_w"].T + params["image_trs_b"]
@@ -100,7 +103,8 @@ class LATTICE(RecModel):
             + w[1] * dense_knn_sim(text_feats, self.topk)
         )
         original = w[0] * self.image_original_adj + w[1] * self.text_original_adj
-        return (1.0 - self.lambda_coeff) * learned + self.lambda_coeff * original
+        mixed = (1.0 - self.lambda_coeff) * learned + self.lambda_coeff * original
+        return mixed.astype(jnp.bfloat16)
 
     def _forward(self, params: Params, item_adj):
         h = params["item_embedding"]

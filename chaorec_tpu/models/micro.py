@@ -79,7 +79,9 @@ class MICRO(RecModel):
         }
 
     def init_state(self, rng: jax.Array):
-        return (self.image_original_adj, self.text_original_adj)
+        # bf16 carried adjacency state (see LATTICE._build_item_adj note)
+        return (self.image_original_adj.astype(jnp.bfloat16),
+                self.text_original_adj.astype(jnp.bfloat16))
 
     def _build_adjs(self, params: Params):
         image_feats = params["v_feat"] @ params["image_trs_w"].T + params["image_trs_b"]
@@ -88,7 +90,7 @@ class MICRO(RecModel):
         txt = dense_norm_laplacian(dense_knn_sim(text_feats, self.topk))
         img = (1 - self.lambda_coeff) * img + self.lambda_coeff * self.image_original_adj
         txt = (1 - self.lambda_coeff) * txt + self.lambda_coeff * self.text_original_adj
-        return img, txt
+        return img.astype(jnp.bfloat16), txt.astype(jnp.bfloat16)
 
     def _query(self, params, x):
         h = jnp.tanh(x @ params["query_w1"].T + params["query_b1"])
