@@ -58,10 +58,28 @@ class DRAGON(DualGNN):
         return user_rep, item_rep + h_i
 
     def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:
-        fu, fi = self.forward(params)
-        u = fu[batch.users]
-        pos = fi[batch.pos_items]
-        neg = fi[batch.neg_items]
+        # batch-rows-only user/mm-graph aggregation (see COHESION.loss)
+        vu, vi = self._tower(params, "v", self.v_feat)
+        tu, ti = self._tower(params, "t", self.t_feat)
+        item_rep = jnp.concatenate([vi, ti], axis=1)
+        wq = params["weight_u"]
+        user_rep = jnp.concatenate([wq[:, 0] * vu, wq[:, 1] * tu], axis=1)
+        bu = batch.users
+        u = user_rep[bu] + gather_weighted_sum(
+            user_rep, self.user_nbr_w[bu], self.user_nbr_idx[bu])
+        items2 = jnp.concatenate([batch.pos_items, batch.neg_items])
+        if self.n_mm_layers == 1:
+            h_rows = gather_weighted_sum(
+                item_rep, self.mm_graph.weights[items2],
+                self.mm_graph.indices[items2])
+        else:
+            h = item_rep
+            for _ in range(self.n_mm_layers):
+                h = self.mm_graph.propagate(h)
+            h_rows = h[items2]
+        both = item_rep[items2] + h_rows
+        b = batch.pos_items.shape[0]
+        pos, neg = both[:b], both[b:]
         w = batch.weights
         bpr = bpr_loss(jnp.sum(u * pos, 1), jnp.sum(u * neg, 1), w, eps=1e-5)
         reg = self.reg_weight * (

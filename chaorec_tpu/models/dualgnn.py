@@ -106,8 +106,20 @@ class DualGNN(RecModel):
         self.user_nbr_w = jnp.asarray(w)
 
     def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:
-        fu, fi = self.forward(params)
-        u = fu[batch.users]
+        # user-graph aggregation rows are independent: compute only the
+        # batch users' rows (identical math to forward()+gather; the
+        # full-table (U, 40) gather+backward dominated the step otherwise
+        # — see COHESION.loss)
+        vu, vi = self._tower(params, "v", self.v_feat)
+        tu, ti = self._tower(params, "t", self.t_feat)
+        fi = vi + ti
+        stacked = jnp.stack([vu, tu], axis=2)
+        user_rep = jnp.squeeze(
+            jnp.matmul(stacked, params["weight_u"]), axis=2
+        )
+        bu = batch.users
+        u = user_rep[bu] + gather_weighted_sum(
+            user_rep, self.user_nbr_w[bu], self.user_nbr_idx[bu])
         pos = fi[batch.pos_items]
         neg = fi[batch.neg_items]
         w = batch.weights
