@@ -115,12 +115,14 @@ def run(cfg: Config, yaml_cfg: Optional[Dict] = None) -> Dict:
             best_params = dict(hyper_param_dict)
             best_metrics = current
             if cfg.export_artifact:
+                best_host = getattr(trainer, "best_params_host", None)
                 best_export = (
                     model,
-                    getattr(trainer, "best_params_host", None)
-                    or getattr(trainer, "final_params", None),
+                    best_host if best_host is not None
+                    else getattr(trainer, "final_params", None),
                     getattr(trainer, "best_mstate_host", None)
                     or getattr(trainer, "model_state", None),
+                    "best-epoch" if best_host is not None else "final-epoch",
                 )
 
     if cfg.export_artifact:
@@ -130,15 +132,17 @@ def run(cfg: Config, yaml_cfg: Optional[Dict] = None) -> Dict:
                             "grid cursor - re-run it to export")
             params = None
         else:
-            model, params, mstate = best_export
+            model, params, mstate, snapshot = best_export
         if params is None:
             logging.warning("export_artifact: best combo's trainer kept no "
                             "weights - skipping export")
         else:
             from chaorec_tpu.serve import export_artifact
 
+            logging.info("export_artifact: exporting %s weights to %s",
+                         snapshot, cfg.export_artifact)
             export_artifact(model, params, mstate, dataset,
-                            cfg.export_artifact)
+                            cfg.export_artifact, snapshot=snapshot)
 
     logging.info("Best performance: {:.5f}".format(best_performance))
     logging.info("Best parameters: {}".format(best_params))

@@ -148,9 +148,15 @@ class Config:
             if isinstance(v, str) and isinstance(cur, (int, float)) \
                     and not isinstance(cur, bool):
                 try:
-                    direct[k] = type(cur)(float(v))
+                    fv = float(v)
                 except ValueError:
-                    pass
+                    continue
+                if isinstance(cur, int) and not fv.is_integer():
+                    raise ValueError(
+                        f"config field {k!r} is an int; refusing to "
+                        f"truncate string value {v!r}"
+                    )
+                direct[k] = type(cur)(fv)
         new = dataclasses.replace(self, **direct)
         if unknown:
             new.extra = {**self.extra, **unknown}

@@ -243,6 +243,7 @@ def _lattice(cfg: Config, ds: RecDataset):
         ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
         cfg.dim_E, cfg.feature_embed, cfg.reg_weight, cfg.n_layers,
         cfg.mm_layers, cfg.ii_topk, cfg.lambda_coeff,
+        compute_dtype=cfg.graph_compute_dtype,
     )
 
 
@@ -255,6 +256,7 @@ def _micro(cfg: Config, ds: RecDataset):
         ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
         cfg.dim_E, cfg.n_layers, cfg.reg_weight, cfg.ii_topk,
         cfg.mm_layers, cfg.ssl_temp, cfg.lambda_coeff, cfg.ssl_alpha,
+        compute_dtype=cfg.graph_compute_dtype,
     )
 
 
@@ -266,6 +268,7 @@ def _mgcn(cfg: Config, ds: RecDataset):
     return MGCN(
         ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
         cfg.dim_E, cfg.reg_weight, cfg.ssl_temp, cfg.ssl_alpha,
+        compute_dtype=cfg.graph_compute_dtype,
     )
 
 
@@ -500,6 +503,7 @@ def _smore(cfg: Config, ds: RecDataset):
     return SMORE(
         ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
         cfg.dim_E, cfg.reg_weight, cfg.n_ui_layers, cfg.ii_topk, cfg.dropout,
+        compute_dtype=cfg.graph_compute_dtype,
     )
 
 
@@ -511,6 +515,7 @@ def _gume(cfg: Config, ds: RecDataset):
     return GUME(
         ds.num_user, ds.num_item, ds.train_edges, v, t,
         cfg.dim_E, cfg.n_layers, cfg.n_ui_layers, cfg.um_loss, cfg.vt_loss,
+        compute_dtype=cfg.graph_compute_dtype,
     )
 
 

@@ -49,8 +49,10 @@ class GUME(RecModel):
     ref_batch = 1024.0
 
     def __init__(self, num_user, num_item, edges: np.ndarray, v_feat, t_feat,
-                 dim_E, n_layers, n_ui_layers, um_loss, vt_loss):
+                 dim_E, n_layers, n_ui_layers, um_loss, vt_loss,
+                 compute_dtype: str = "bfloat16"):
         super().__init__(num_user, num_item)
+        adj_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.dim_E = dim_E
         self.n_layers = n_layers
         self.n_ui_layers = n_ui_layers
@@ -81,15 +83,16 @@ class GUME(RecModel):
         deg_i = a_ui.sum(0) + a_ii.sum(1)
         du = np.where(deg_u > 0, deg_u ** -0.5, 0.0)
         di = np.where(deg_i > 0, deg_i ** -0.5, 0.0)
-        # bf16 adjacency stores + bf16-input MXU propagation (framework
-        # numerics policy, ops/mxu.py): halves HBM traffic and ~6x's the
-        # MXU rate of the per-step tower forwards vs fp32
+        # Adjacency stores in the configured graph compute dtype. Default
+        # bf16 (ops/mxu.py): halves HBM traffic and ~6x's the MXU rate of
+        # the per-step tower forwards vs fp32; graph_compute_dtype=float32
+        # restores fp32-parity numerics.
         self.r_norm = jnp.asarray(a_ui * du[:, None] * di[None, :],
-                                  jnp.bfloat16)
+                                  adj_dtype)
         self.ii_norm = jnp.asarray(a_ii * di[:, None] * di[None, :],
-                                   jnp.bfloat16)
-        self.image_adj = self.image_adj.astype(jnp.bfloat16)
-        self.text_adj = self.text_adj.astype(jnp.bfloat16)
+                                   adj_dtype)
+        self.image_adj = self.image_adj.astype(adj_dtype)
+        self.text_adj = self.text_adj.astype(adj_dtype)
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 14)

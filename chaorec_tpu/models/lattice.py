@@ -53,8 +53,12 @@ class LATTICE(RecModel):
 
     def __init__(self, num_user, num_item, graph: BipartiteGraph, v_feat,
                  t_feat, dim_E, feat_embed_dim, reg_weight, n_layers,
-                 mm_layers, ii_topk, lambda_coeff):
+                 mm_layers, ii_topk, lambda_coeff,
+                 compute_dtype: str = "bfloat16"):
         super().__init__(num_user, num_item)
+        self.adj_dtype = (
+            jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        )
         self.graph = graph
         self.dim_E = dim_E
         self.feat_embed_dim = feat_embed_dim
@@ -89,10 +93,11 @@ class LATTICE(RecModel):
         # item_adj buffer; epoch's first batch overwrites it.
         w = jax.nn.softmax(jnp.asarray([0.5, 0.5]))
         original = w[0] * self.image_original_adj + w[1] * self.text_original_adj
-        # bf16 carried state: bdot casts per STEP otherwise (the fp32->bf16
-        # cast of the (I, I) adjacency inside the scan costs ~1.2 GB of HBM
-        # traffic per step on microlens)
-        return original.astype(jnp.bfloat16)
+        # Carried state in the configured graph dtype: with bf16, bdot
+        # casts per STEP otherwise (the fp32->bf16 cast of the (I, I)
+        # adjacency inside the scan costs ~1.2 GB of HBM traffic per step
+        # on microlens); graph_compute_dtype=float32 restores fp32 parity.
+        return original.astype(self.adj_dtype)
 
     def _build_item_adj(self, params: Params) -> jnp.ndarray:
         image_feats = params["v_feat"] @ params["image_trs_w"].T + params["image_trs_b"]
@@ -104,7 +109,7 @@ class LATTICE(RecModel):
         )
         original = w[0] * self.image_original_adj + w[1] * self.text_original_adj
         mixed = (1.0 - self.lambda_coeff) * learned + self.lambda_coeff * original
-        return mixed.astype(jnp.bfloat16)
+        return mixed.astype(self.adj_dtype)
 
     def _forward(self, params: Params, item_adj):
         h = params["item_embedding"]

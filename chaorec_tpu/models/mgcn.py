@@ -39,8 +39,10 @@ class MGCN(RecModel):
     knn_k = 10
 
     def __init__(self, num_user, num_item, graph: BipartiteGraph, v_feat,
-                 t_feat, dim_E, reg_weight, ssl_temp, ssl_alpha):
+                 t_feat, dim_E, reg_weight, ssl_temp, ssl_alpha,
+                 compute_dtype: str = "bfloat16"):
         super().__init__(num_user, num_item)
+        adj_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.graph = graph
         self.dim_E = dim_E
         self.reg_weight = reg_weight
@@ -49,8 +51,8 @@ class MGCN(RecModel):
         self._v_init = v_feat
         self._t_init = t_feat
         k = min(self.knn_k, num_item)
-        self.image_adj = dense_norm_laplacian(dense_knn_sim(v_feat, k)).astype(jnp.bfloat16)
-        self.text_adj = dense_norm_laplacian(dense_knn_sim(t_feat, k)).astype(jnp.bfloat16)
+        self.image_adj = dense_norm_laplacian(dense_knn_sim(v_feat, k)).astype(adj_dtype)
+        self.text_adj = dense_norm_laplacian(dense_knn_sim(t_feat, k)).astype(adj_dtype)
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 12)

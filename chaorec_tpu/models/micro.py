@@ -48,8 +48,12 @@ class MICRO(RecModel):
 
     def __init__(self, num_user, num_item, graph: BipartiteGraph, v_feat,
                  t_feat, dim_E, n_layers, reg_weight, ii_topk, mm_layers,
-                 ssl_temp, lambda_coeff, ssl_alpha):
+                 ssl_temp, lambda_coeff, ssl_alpha,
+                 compute_dtype: str = "bfloat16"):
         super().__init__(num_user, num_item)
+        self.adj_dtype = (
+            jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        )
         self.graph = graph
         self.dim_E = dim_E
         self.n_ui_layers = n_layers
@@ -79,9 +83,10 @@ class MICRO(RecModel):
         }
 
     def init_state(self, rng: jax.Array):
-        # bf16 carried adjacency state (see LATTICE._build_item_adj note)
-        return (self.image_original_adj.astype(jnp.bfloat16),
-                self.text_original_adj.astype(jnp.bfloat16))
+        # Carried adjacency state in the configured graph dtype (see
+        # LATTICE._build_item_adj note)
+        return (self.image_original_adj.astype(self.adj_dtype),
+                self.text_original_adj.astype(self.adj_dtype))
 
     def _build_adjs(self, params: Params):
         image_feats = params["v_feat"] @ params["image_trs_w"].T + params["image_trs_b"]
@@ -90,7 +95,7 @@ class MICRO(RecModel):
         txt = dense_norm_laplacian(dense_knn_sim(text_feats, self.topk))
         img = (1 - self.lambda_coeff) * img + self.lambda_coeff * self.image_original_adj
         txt = (1 - self.lambda_coeff) * txt + self.lambda_coeff * self.text_original_adj
-        return img.astype(jnp.bfloat16), txt.astype(jnp.bfloat16)
+        return img.astype(self.adj_dtype), txt.astype(self.adj_dtype)
 
     def _query(self, params, x):
         h = jnp.tanh(x @ params["query_w1"].T + params["query_b1"])

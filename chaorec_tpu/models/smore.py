@@ -39,8 +39,10 @@ class SMORE(RecModel):
     n_modal_layers = 1
 
     def __init__(self, num_user, num_item, graph: BipartiteGraph, v_feat,
-                 t_feat, dim_E, reg_weight, n_ui_layers, ii_topk, dropout):
+                 t_feat, dim_E, reg_weight, n_ui_layers, ii_topk, dropout,
+                 compute_dtype: str = "bfloat16"):
         super().__init__(num_user, num_item)
+        adj_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.graph = graph
         self.dim_E = dim_E
         self.reg_weight = reg_weight
@@ -52,10 +54,12 @@ class SMORE(RecModel):
         self.image_adj = dense_norm_laplacian(dense_knn_sim(v_feat, k))
         self.text_adj = dense_norm_laplacian(dense_knn_sim(t_feat, k))
         self.fusion_adj = jnp.maximum(self.image_adj, self.text_adj)
-        # bf16 adjacency stores + bf16-input MXU propagation (ops/mxu.py)
-        self.image_adj = self.image_adj.astype(jnp.bfloat16)
-        self.text_adj = self.text_adj.astype(jnp.bfloat16)
-        self.fusion_adj = self.fusion_adj.astype(jnp.bfloat16)
+        # Adjacency stores in the configured graph compute dtype (default
+        # bf16 MXU propagation, ops/mxu.py; cfg.graph_compute_dtype=float32
+        # restores fp32-parity numerics for reference comparisons).
+        self.image_adj = self.image_adj.astype(adj_dtype)
+        self.text_adj = self.text_adj.astype(adj_dtype)
+        self.fusion_adj = self.fusion_adj.astype(adj_dtype)
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 16)

@@ -100,7 +100,17 @@ def _load() -> Optional[ctypes.CDLL]:
             if lib.ch_abi_version() != _ABI_VERSION:
                 if not _build():
                     return None
+                # dlopen on the same path returns the STALE mapped handle
+                # (ctypes never dlcloses); re-verify the ABI and fall back
+                # to the numpy paths rather than risk calling through
+                # mismatched signatures.
                 lib = _bind(ctypes.CDLL(str(_SO)))
+                if lib.ch_abi_version() != _ABI_VERSION:
+                    logging.warning(
+                        "chaorec_host ABI still stale after rebuild "
+                        "(old handle mapped); using numpy fallbacks"
+                    )
+                    return None
             _lib = lib
         except OSError as e:
             logging.warning("chaorec_host load failed (%s)", e)

@@ -50,6 +50,7 @@ def export_artifact(
     path: str,
     score_topk: int = 200,
     eval_user_chunk: int = 4096,
+    snapshot: str = "best-epoch",
 ) -> str:
     """Write a self-contained serving artifact for a trained model.
 
@@ -62,6 +63,7 @@ def export_artifact(
     common = dict(
         format_version=FORMAT_VERSION,
         model=model.name,
+        snapshot=snapshot,  # which weights: "best-epoch" or "final-epoch"
         dataset=dataset.name,
         num_user=dataset.num_user,
         num_item=dataset.num_item,

@@ -93,19 +93,10 @@ class Trainer:
         # Dense (U, I) uint8 history indicator for eval masking: the
         # elementwise select fuses into the scoring matmul; the scatter
         # fallback lowers to a 3 GiB/s sort+scatter (see eval/ranking.py).
-        # Gated on memory (uint8 bytes == U*I).
-        self._seen_mask = None
-        if dataset.num_user * dataset.num_item <= 2_000_000_000:
-            # built from the padded history table (NOT train_edges) so the
-            # dense mask marks exactly what the scatter path masks — the
-            # user_item_dict.npy contents where that file exists
-            hv, hl = dataset.history.values, dataset.history.lengths
-            valid = np.arange(hv.shape[1])[None, :] < hl[:, None]
-            rows = np.broadcast_to(
-                np.arange(dataset.num_user)[:, None], hv.shape)[valid]
-            seen = np.zeros((dataset.num_user, dataset.num_item), np.uint8)
-            seen[rows, hv[valid]] = 1
-            self._seen_mask = jnp.asarray(seen)
+        # Gated on memory (uint8 bytes == U*I, cfg seen_mask_max_bytes) and
+        # built lazily on the first evaluate so training-only phases never
+        # hold the (up to ~700 MB on real datasets) buffer in HBM.
+        self._seen_mask_cache = None
         self._epoch_fn = None
         self.model_state = model.init_state(jax.random.PRNGKey(cfg.seed + 1))
         # Model is a pytree argument, not a closure: keeps graph buffers out
@@ -116,6 +107,26 @@ class Trainer:
             )
         else:
             self._embeddings_fn = jax.jit(lambda m, p, s: m.embeddings(p))
+
+    @property
+    def _seen_mask(self):
+        """Lazy dense seen-mask; ``None`` when U*I exceeds the byte cap."""
+        if self._seen_mask_cache is None:
+            ds = self.dataset
+            cap = int(self.cfg.get("seen_mask_max_bytes", 2_000_000_000))
+            if ds.num_user * ds.num_item > cap:
+                return None
+            # built from the padded history table (NOT train_edges) so the
+            # dense mask marks exactly what the scatter path masks — the
+            # user_item_dict.npy contents where that file exists
+            hv, hl = ds.history.values, ds.history.lengths
+            valid = np.arange(hv.shape[1])[None, :] < hl[:, None]
+            rows = np.broadcast_to(
+                np.arange(ds.num_user)[:, None], hv.shape)[valid]
+            seen = np.zeros((ds.num_user, ds.num_item), np.uint8)
+            seen[rows, hv[valid]] = 1
+            self._seen_mask_cache = jnp.asarray(seen)
+        return self._seen_mask_cache
 
     def make_optimizer(self) -> optax.GradientTransformation:
         """Adam with torch defaults (main.py:397)."""
@@ -262,7 +273,7 @@ class Trainer:
                 self.dataset.num_user,
                 topk=self.cfg.rank_topk,
                 user_chunk=self.cfg.eval_user_chunk,
-                seen_mask=self._seen_mask,
+                seen_mask=self._seen_mask,  # lazy property below
             )
         from chaorec_tpu.eval.metrics import gene_metrics_pair_async
 
