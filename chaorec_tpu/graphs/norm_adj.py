@@ -70,10 +70,15 @@ class BipartiteGraph:
     i_by_i: jnp.ndarray  # ascending
     w_by_i: jnp.ndarray
     dense_r: Optional[jnp.ndarray]  # (U, I) normalized R, or None
+    # ELL-packed R (rows=users, cols=items), used instead of the sorted
+    # segment-sum path when present: gather + K-axis dense reduction in
+    # both directions (ops/ell.py) — no sort-based scatter anywhere.
+    ell: Optional["EllMatrix"] = None
 
     def tree_flatten(self):
         leaves = (self.u_by_u, self.i_by_u, self.w_by_u,
-                  self.u_by_i, self.i_by_i, self.w_by_i, self.dense_r)
+                  self.u_by_i, self.i_by_i, self.w_by_i, self.dense_r,
+                  self.ell)
         aux = (self.num_user, self.num_item, self.use_dense, self.compute_dtype)
         return leaves, aux
 
@@ -111,6 +116,11 @@ class BipartiteGraph:
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
             return new_u, new_i
+        if self.ell is not None:
+            cast = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                    else jnp.float32)
+            return (self.ell.matvec(item_emb.astype(cast)),
+                    self.ell.t.matvec(user_emb.astype(cast)))
         new_u = jax.ops.segment_sum(
             self.w_by_u[:, None] * item_emb[self.i_by_u],
             self.u_by_u,
@@ -154,6 +164,7 @@ def build_norm_adj(
     dense_threshold: int = 600_000_000,
     compute_dtype: str = "float32",
     eps: float = 1e-7,
+    use_ell: bool = True,
 ) -> BipartiteGraph:
     """Build the symmetric-normalized bipartite graph from train edges.
 
@@ -184,6 +195,15 @@ def build_norm_adj(
             r, dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         )
 
+    ell = None
+    if use_ell and not use_dense:
+        from chaorec_tpu.ops.ell import EllMatrix, auto_cap
+
+        ell = EllMatrix.from_coo(
+            edges[:, 0], edges[:, 1], w, num_user, num_item,
+            cap=auto_cap(du), cap_t=auto_cap(di),
+        )
+
     return BipartiteGraph(
         num_user=num_user,
         num_item=num_item,
@@ -196,4 +216,5 @@ def build_norm_adj(
         i_by_i=i_by_i,
         w_by_i=w_by_i,
         dense_r=dense_r,
+        ell=ell,
     )

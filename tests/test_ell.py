@@ -1,0 +1,130 @@
+"""ELL spmm vs dense oracle: forward, VJP, overflow, learned-graph path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chaorec_tpu.graphs.norm_adj import build_norm_adj
+from chaorec_tpu.ops.ell import (
+    EllMatrix,
+    auto_cap,
+    ell_from_coo,
+    ell_rows_matvec,
+    topk_sym_norm_ell,
+)
+
+pytestmark = pytest.mark.fast
+
+
+def _random_coo(rs, num_rows, num_cols, nnz):
+    src = rs.integers(0, num_rows, nnz)
+    dst = rs.integers(0, num_cols, nnz)
+    w = rs.standard_normal(nnz).astype(np.float32)
+    return src, dst, w
+
+
+def _dense(src, dst, w, num_rows, num_cols):
+    a = np.zeros((num_rows, num_cols), np.float32)
+    np.add.at(a, (src, dst), w)
+    return a
+
+
+def test_ell_matvec_matches_dense_with_overflow(rng):
+    num_rows, num_cols, d = 60, 45, 8
+    src, dst, w = _random_coo(rng, num_rows, num_cols, 400)
+    a = EllMatrix.from_coo(src, dst, w, num_rows, num_cols, cap=8)
+    assert a.ov_src.shape[0] > 0  # cap low enough to force overflow
+    x = rng.standard_normal((num_cols, d)).astype(np.float32)
+    dense = _dense(src, dst, w, num_rows, num_cols)
+    np.testing.assert_allclose(
+        np.asarray(a.matvec(jnp.asarray(x))), dense @ x, rtol=1e-5, atol=1e-5
+    )
+    # transposed orientation
+    y = rng.standard_normal((num_rows, d)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(a.t.matvec(jnp.asarray(y))), dense.T @ y,
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_ell_matvec_vjp_is_transpose(rng):
+    num_rows, num_cols, d = 30, 22, 4
+    src, dst, w = _random_coo(rng, num_rows, num_cols, 150)
+    a = EllMatrix.from_coo(src, dst, w, num_rows, num_cols, cap=8)
+    dense = _dense(src, dst, w, num_rows, num_cols)
+    x = jnp.asarray(rng.standard_normal((num_cols, d)).astype(np.float32))
+
+    def f(x):
+        return (a.matvec(x) ** 2).sum()
+
+    grad = jax.grad(f)(x)
+    expected = 2 * dense.T @ (dense @ np.asarray(x))
+    np.testing.assert_allclose(np.asarray(grad), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_ell_under_jit_as_pytree(rng):
+    src, dst, w = _random_coo(rng, 16, 12, 50)
+    a = EllMatrix.from_coo(src, dst, w, 16, 12)
+    x = jnp.asarray(rng.standard_normal((12, 4)).astype(np.float32))
+    jitted = jax.jit(lambda a, x: a.matvec(x))
+    np.testing.assert_allclose(
+        np.asarray(jitted(a, x)), np.asarray(a.matvec(x)), rtol=1e-6
+    )
+
+
+def test_auto_cap_spill_bound():
+    deg = np.array([1] * 990 + [100] * 10)
+    k = auto_cap(deg, spill_frac=0.5)
+    assert k == 8  # spilling 920 of 1990 edges <= 50%
+    k2 = auto_cap(deg, spill_frac=0.0)
+    assert k2 == 104  # max degree rounded to multiple of 8
+
+
+def test_ell_from_coo_rank_placement():
+    src = np.array([0, 0, 0, 2, 2])
+    dst = np.array([5, 6, 7, 1, 2])
+    w = np.ones(5, np.float32)
+    idx, wm, ov_s, ov_d, ov_w = ell_from_coo(src, dst, w, 3, cap=2)
+    assert idx.shape == (3, 8)  # cap rounds up to sublane multiple
+    assert set(idx[0, :3].tolist()) == {5, 6, 7}
+    assert wm[1].sum() == 0
+    assert ov_s.shape[0] == 0
+
+
+def test_graph_ell_path_matches_segment(rng, tiny_dataset):
+    ds = tiny_dataset
+    g_seg = build_norm_adj(ds.train_edges, ds.num_user, ds.num_item,
+                           use_dense=False, use_ell=False)
+    g_ell = build_norm_adj(ds.train_edges, ds.num_user, ds.num_item,
+                           use_dense=False, use_ell=True)
+    assert g_ell.ell is not None
+    xu = jnp.asarray(rng.standard_normal((ds.num_user, 16)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((ds.num_item, 16)).astype(np.float32))
+    u1, i1 = g_seg.propagate(xu, xi)
+    u2, i2 = g_ell.propagate(xu, xi)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), rtol=1e-4, atol=1e-5)
+
+
+def test_topk_sym_norm_and_rows_matvec(rng):
+    n, k, d = 20, 4, 6
+    feats = rng.standard_normal((n, 16)).astype(np.float32)
+    f = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    sim = f @ f.T
+    vals, idx = jax.lax.top_k(jnp.asarray(sim), k)
+    nv, ni = topk_sym_norm_ell(vals, idx)
+    # Dense oracle: same normalization on the materialized kNN graph.
+    a = np.zeros((n, n), np.float32)
+    a[np.arange(n)[:, None], np.asarray(idx)] = np.asarray(vals)
+    rd = a.sum(1)
+    cd = a.sum(0)
+    norm = a * (np.maximum(rd, 1e-7) ** -0.5)[:, None] \
+             * (np.maximum(cd, 1e-7) ** -0.5)[None, :]
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    out = ell_rows_matvec(nv, ni, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), norm @ x, rtol=1e-4, atol=1e-5)
+
+    # gradient flows through vals (learned-graph requirement)
+    gv = jax.grad(lambda v: (ell_rows_matvec(v, ni, jnp.asarray(x)) ** 2).sum())(nv)
+    assert np.isfinite(np.asarray(gv)).all() and np.abs(np.asarray(gv)).sum() > 0

@@ -7,6 +7,8 @@ import pytest
 from chaorec_tpu.graphs.knn import build_knn_graph, build_sim
 from chaorec_tpu.graphs.norm_adj import build_norm_adj
 
+pytestmark = pytest.mark.fast
+
 
 def _numpy_reference_propagate(edges, num_user, num_item, x_u, x_i, eps=1e-7):
     """Oracle: symmetric-normalized scatter-add, LightGCNConv semantics

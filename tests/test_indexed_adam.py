@@ -12,6 +12,8 @@ from chaorec_tpu.ops.indexed_adam import (
     row_adam_update,
 )
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.mark.parametrize("dup", [False, True])
 def test_matches_dense_adam(dup):

@@ -8,6 +8,9 @@ from chaorec_tpu.graphs.norm_adj import build_norm_adj
 from chaorec_tpu.models.base import Batch
 from chaorec_tpu.models.lightgcn import LightGCN
 from chaorec_tpu.ops.linear_prop import build_combined_op
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def _setup(tiny_dataset, n_layers=2):

@@ -13,6 +13,8 @@ import pytest
 
 from chaorec_tpu.eval.metrics import compute_metrics
 
+pytestmark = pytest.mark.fast
+
 
 # ---- oracle: reference semantics (metrics.py:13-57) ----
 def _precision(ranked, truth, k):

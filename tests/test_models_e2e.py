@@ -26,6 +26,7 @@ def _run(model_name, tiny_dataset, epochs=30, **overrides):
     return train_and_evaluate(model, tiny_dataset, cfg)
 
 
+@pytest.mark.fast
 @pytest.mark.parametrize("model_name", ["BPR", "LightGCN"])
 def test_model_learns(tiny_dataset, model_name, caplog):
     import logging

@@ -10,6 +10,8 @@ import pytest
 
 from chaorec_tpu import native
 
+pytestmark = pytest.mark.fast
+
 
 def _random_bipartite(rng, num_user=97, num_item=53, e=600):
     edges = np.stack(

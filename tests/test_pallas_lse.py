@@ -7,6 +7,8 @@ import pytest
 
 from chaorec_tpu.ops.pallas_lse import streaming_logsumexp
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.mark.parametrize("b,n,e", [(64, 600, 16), (130, 1100, 32)])
 def test_streaming_lse_matches_xla(b, n, e):

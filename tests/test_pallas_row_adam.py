@@ -8,6 +8,8 @@ import pytest
 
 from chaorec_tpu.ops.pallas_row_adam import fused_row_adam, prepare_sorted_rows
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.mark.parametrize("dup", [False, True])
 @pytest.mark.parametrize("shape", [(40, 128), (37, 256)])

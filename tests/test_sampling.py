@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from chaorec_tpu.data.sampling import make_epoch_batches, sample_negatives
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def test_negatives_avoid_history(tiny_dataset):

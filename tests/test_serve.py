@@ -12,6 +12,8 @@ from chaorec_tpu.models import build_model
 from chaorec_tpu.serve import Recommender, export_artifact, serve_http
 from chaorec_tpu.train.loop import Trainer
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture(scope="module")
 def trained(tiny_dataset):
