@@ -135,6 +135,49 @@ class BipartiteGraph:
         )
         return new_u, new_i
 
+    def apply_r(self, item_x: jnp.ndarray) -> jnp.ndarray:
+        """R @ item_x -> (U, D): one user-side aggregation.
+
+        Tower-style multimodal models (SMORE/GUME/COHESION/MGCN) apply the
+        two directions independently instead of calling ``propagate``;
+        this picks the cheapest path (ELL gather-reduce when built, else
+        dense MXU, else sorted segment-sum)."""
+        if self.ell is not None:
+            cast = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                    else jnp.float32)
+            return self.ell.matvec(item_x.astype(cast))
+        if self.use_dense:
+            from chaorec_tpu.ops.mxu import bdot
+
+            if self.compute_dtype == "bfloat16":
+                return bdot(self.dense_r, item_x)
+            return jnp.dot(self.dense_r, item_x,
+                           preferred_element_type=jnp.float32)
+        return jax.ops.segment_sum(
+            self.w_by_u[:, None] * item_x[self.i_by_u],
+            self.u_by_u, num_segments=self.num_user,
+            indices_are_sorted=True,
+        )
+
+    def apply_rt(self, user_x: jnp.ndarray) -> jnp.ndarray:
+        """R^T @ user_x -> (I, D): one item-side aggregation."""
+        if self.ell is not None:
+            cast = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                    else jnp.float32)
+            return self.ell.t.matvec(user_x.astype(cast))
+        if self.use_dense:
+            from chaorec_tpu.ops.mxu import bdot
+
+            if self.compute_dtype == "bfloat16":
+                return bdot(self.dense_r.T, user_x)
+            return jnp.dot(self.dense_r.T, user_x,
+                           preferred_element_type=jnp.float32)
+        return jax.ops.segment_sum(
+            self.w_by_i[:, None] * user_x[self.u_by_i],
+            self.i_by_i, num_segments=self.num_item,
+            indices_are_sorted=True,
+        )
+
     def with_edge_mask(self, mask: jnp.ndarray) -> "BipartiteGraph":
         """Static-shape edge dropout/pruning: zero masked edge weights.
 

@@ -83,11 +83,16 @@ def _maybe_op(cfg: Config, ds: RecDataset, graph, layer_weights):
     return None
 
 
-def _ui_graph(cfg: Config, ds: RecDataset):
+def _ui_graph(cfg: Config, ds: RecDataset, force_sparse: bool = False):
+    """UI graph. ``force_sparse`` skips the dense (U, I) operator so both
+    propagate directions run on the ELL gather-reduce path — measured
+    faster than the dense MXU matmul for the tower-style multimodal
+    models whose forwards apply R/R^T many times per step."""
     return build_norm_adj(
         ds.train_edges,
         ds.num_user,
         ds.num_item,
+        use_dense=False if force_sparse else None,
         dense_threshold=cfg.dense_prop_threshold,
         compute_dtype=cfg.graph_compute_dtype,
     )
@@ -240,7 +245,7 @@ def _lattice(cfg: Config, ds: RecDataset):
     #   n_layers, mm_layers, ii_topk, aggr_mode, lambda_coeff, device)
     v, t = _feats(ds)
     return LATTICE(
-        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds, force_sparse=True), v, t,
         cfg.dim_E, cfg.feature_embed, cfg.reg_weight, cfg.n_layers,
         cfg.mm_layers, cfg.ii_topk, cfg.lambda_coeff,
         compute_dtype=cfg.graph_compute_dtype,
@@ -253,7 +258,7 @@ def _micro(cfg: Config, ds: RecDataset):
     #   mm_layers, ssl_temp, lambda_coeff, ssl_alpha, aggr_mode, device)
     v, t = _feats(ds)
     return MICRO(
-        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds, force_sparse=True), v, t,
         cfg.dim_E, cfg.n_layers, cfg.reg_weight, cfg.ii_topk,
         cfg.mm_layers, cfg.ssl_temp, cfg.lambda_coeff, cfg.ssl_alpha,
         compute_dtype=cfg.graph_compute_dtype,
@@ -266,7 +271,7 @@ def _mgcn(cfg: Config, ds: RecDataset):
     #   ssl_temp, ssl_alpha, device) — n_layers/n_ui_layers hardcoded inside.
     v, t = _feats(ds)
     return MGCN(
-        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds, force_sparse=True), v, t,
         cfg.dim_E, cfg.reg_weight, cfg.ssl_temp, cfg.ssl_alpha,
         compute_dtype=cfg.graph_compute_dtype,
     )
@@ -501,7 +506,7 @@ def _smore(cfg: Config, ds: RecDataset):
     #   dropout, dataset, device)
     v, t = _feats(ds)
     return SMORE(
-        ds.num_user, ds.num_item, _ui_graph(cfg, ds), v, t,
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds, force_sparse=True), v, t,
         cfg.dim_E, cfg.reg_weight, cfg.n_ui_layers, cfg.ii_topk, cfg.dropout,
         compute_dtype=cfg.graph_compute_dtype,
     )

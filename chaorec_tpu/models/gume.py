@@ -25,10 +25,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from chaorec_tpu.models.base import Batch, Params, RecModel
-from chaorec_tpu.models.lattice import dense_knn_sim, dense_norm_laplacian
 from chaorec_tpu.models.slmrec import in_batch_ce
+from chaorec_tpu.ops.ell import (
+    EllMatrix,
+    auto_cap,
+    ell_rows_matvec,
+    knn_topk_ell_host,
+    topk_sym_norm_host,
+)
 from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
-from chaorec_tpu.ops.mxu import bdot
 from chaorec_tpu.ops.losses import l2norm, masked_mean
 
 
@@ -52,7 +57,7 @@ class GUME(RecModel):
                  dim_E, n_layers, n_ui_layers, um_loss, vt_loss,
                  compute_dtype: str = "bfloat16"):
         super().__init__(num_user, num_item)
-        adj_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        del compute_dtype  # graphs are ELL now: fp32-exact, O(E) storage
         self.dim_E = dim_E
         self.n_layers = n_layers
         self.n_ui_layers = n_ui_layers
@@ -61,8 +66,10 @@ class GUME(RecModel):
         self._v_init = v_feat
         self._t_init = t_feat
         k = min(self.knn_k, num_item)
-        self.image_adj = dense_norm_laplacian(dense_knn_sim(v_feat, k))
-        self.text_adj = dense_norm_laplacian(dense_knn_sim(t_feat, k))
+        iv, ii_ = topk_sym_norm_host(*knn_topk_ell_host(v_feat, k))
+        tv, ti = topk_sym_norm_host(*knn_topk_ell_host(t_feat, k))
+        self.image_adj = (jnp.asarray(iv), jnp.asarray(ii_))
+        self.text_adj = (jnp.asarray(tv), jnp.asarray(ti))
 
         # I-I intersection edges + combined normalized adjacency blocks.
         vi = _knn_indices(np.asarray(v_feat), k)
@@ -83,16 +90,27 @@ class GUME(RecModel):
         deg_i = a_ui.sum(0) + a_ii.sum(1)
         du = np.where(deg_u > 0, deg_u ** -0.5, 0.0)
         di = np.where(deg_i > 0, deg_i ** -0.5, 0.0)
-        # Adjacency stores in the configured graph compute dtype. Default
-        # bf16 (ops/mxu.py): halves HBM traffic and ~6x's the MXU rate of
-        # the per-step tower forwards vs fp32; graph_compute_dtype=float32
-        # restores fp32-parity numerics.
-        self.r_norm = jnp.asarray(a_ui * du[:, None] * di[None, :],
-                                  adj_dtype)
-        self.ii_norm = jnp.asarray(a_ii * di[:, None] * di[None, :],
-                                   adj_dtype)
-        self.image_adj = self.image_adj.astype(adj_dtype)
-        self.text_adj = self.text_adj.astype(adj_dtype)
+        # Augmented UI + I-I intersection graphs as EllMatrix: per-step
+        # reads are O(E) gathers instead of the dense (U, I)/(I, I)
+        # matrices (GUME.py:215-264 semantics, custom joint degrees).
+        uedges = np.unique(edges[:, :2], axis=0)  # a_ui assigns, not adds
+        ew = du[uedges[:, 0]] * di[uedges[:, 1]]
+        self.r_norm = EllMatrix.from_coo(
+            uedges[:, 0], uedges[:, 1], ew, num_user, num_item,
+            cap=auto_cap(np.bincount(uedges[:, 0], minlength=num_user)),
+            cap_t=auto_cap(np.bincount(uedges[:, 1], minlength=num_item)),
+        )
+        if rows:
+            r_arr = np.asarray(rows)
+            c_arr = np.asarray(cols)
+            iw = (a_ii * di[:, None] * di[None, :])[r_arr, c_arr]
+        else:
+            r_arr = np.zeros((0,), np.int64)
+            c_arr = np.zeros((0,), np.int64)
+            iw = np.zeros((0,), np.float32)
+        self.ii_norm = EllMatrix.from_coo(
+            r_arr, c_arr, iw, num_item, num_item,
+        )
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 14)
@@ -127,8 +145,8 @@ class GUME(RecModel):
         cu, ci = xu, xi
         for _ in range(self.n_ui_layers):
             cu, ci = (
-                bdot(r, ci),
-                bdot(r.T, cu) + bdot(ii, ci),
+                r.matvec(ci),
+                r.t.matvec(cu) + ii.matvec(ci),
             )
             acc_u = acc_u + cu
             acc_i = acc_i + ci
@@ -151,19 +169,20 @@ class GUME(RecModel):
 
         def conv_ii(adj, x):
             for _ in range(self.n_layers):
-                x = bdot(adj, x)
+                x = ell_rows_matvec(*adj, x)
             return x
 
         exp_img_i = conv_ii(self.image_adj, img_item)
         exp_txt_i = conv_ii(self.text_adj, txt_item)
 
         # The three _conv_ui towers and the two R-mapped modal user views
-        # all multiply by the SAME (U, I) adjacency — and the epoch is
-        # HBM-bound on reading it (~880 MB x ~60 reads/step on sports).
-        # Batch them along the feature axis: one R read serves all towers
-        # per layer; layer-mean propagation is columnwise-independent so
-        # the split results are exactly the per-tower results.
-        exp_u = bdot(self.r_norm, jnp.concatenate([exp_img_i, exp_txt_i], 1))
+        # all multiply by the SAME (U, I) adjacency; batching them along
+        # the feature axis lets one gather of the edge list serve all
+        # towers per layer (layer-mean propagation is columnwise-
+        # independent, so the split results are exactly the per-tower
+        # results).
+        exp_u = self.r_norm.matvec(
+            jnp.concatenate([exp_img_i, exp_txt_i], 1))
         exp_img_u, exp_txt_u = jnp.split(exp_u, 2, axis=1)
 
         cat_u = jnp.concatenate(

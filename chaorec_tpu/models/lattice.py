@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
-from chaorec_tpu.ops.mxu import bdot
+from chaorec_tpu.ops.ell import ell_rows_matvec, knn_topk_ell, topk_sym_norm_ell
 from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
 from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg, l2norm
 
@@ -54,11 +54,9 @@ class LATTICE(RecModel):
     def __init__(self, num_user, num_item, graph: BipartiteGraph, v_feat,
                  t_feat, dim_E, feat_embed_dim, reg_weight, n_layers,
                  mm_layers, ii_topk, lambda_coeff,
-                 compute_dtype: str = "bfloat16"):
+                 compute_dtype: str = "float32"):
         super().__init__(num_user, num_item)
-        self.adj_dtype = (
-            jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-        )
+        del compute_dtype  # ELL carried state is fp32-exact and tiny
         self.graph = graph
         self.dim_E = dim_E
         self.feat_embed_dim = feat_embed_dim
@@ -69,12 +67,13 @@ class LATTICE(RecModel):
         self.lambda_coeff = lambda_coeff
         self._v_init = v_feat
         self._t_init = t_feat
-        self.image_original_adj = dense_norm_laplacian(
-            dense_knn_sim(v_feat, ii_topk)
-        )
-        self.text_original_adj = dense_norm_laplacian(
-            dense_knn_sim(t_feat, ii_topk)
-        )
+        # Frozen "original" modal graphs in ELL (vals, idx) form: top-k
+        # cosine rows, value-weighted D^-1/2 A D^-1/2 (Model/LATTICE.py:
+        # 44-61,100-106) — the (I, I) similarity exists only transiently
+        # inside top_k at init; per-step propagation reads (I, K), not
+        # (I, I) (~1000x less HBM traffic at microlens scale).
+        self.image_original = topk_sym_norm_ell(*knn_topk_ell(v_feat, ii_topk))
+        self.text_original = topk_sym_norm_ell(*knn_topk_ell(t_feat, ii_topk))
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 4)
@@ -89,32 +88,55 @@ class LATTICE(RecModel):
             "modal_weight": jnp.asarray([0.5, 0.5], jnp.float32),
         }
 
-    def init_state(self, rng: jax.Array):
-        # item_adj buffer; epoch's first batch overwrites it.
-        w = jax.nn.softmax(jnp.asarray([0.5, 0.5]))
-        original = w[0] * self.image_original_adj + w[1] * self.text_original_adj
-        # Carried state in the configured graph dtype: with bf16, bdot
-        # casts per STEP otherwise (the fp32->bf16 cast of the (I, I)
-        # adjacency inside the scan costs ~1.2 GB of HBM traffic per step
-        # on microlens); graph_compute_dtype=float32 restores fp32 parity.
-        return original.astype(self.adj_dtype)
+    def _original_mix(self, w):
+        """λ-scaled modal-weighted originals as one ELL block (duplicate
+        (row, col) slots across blocks simply sum in matvec — identical to
+        adding the dense matrices)."""
+        iv, ii = self.image_original
+        tv, ti = self.text_original
+        return (jnp.concatenate([w[0] * iv, w[1] * tv], 1),
+                jnp.concatenate([ii, ti], 1))
 
-    def _build_item_adj(self, params: Params) -> jnp.ndarray:
+    def init_state(self, rng: jax.Array):
+        # item_adj ELL buffer; epoch's first batch overwrites it. Shape
+        # (I, 4K): learned block (2K slots) + original block (2K slots);
+        # here the learned block is zero-weighted padding so the carried
+        # shape is identical to _build_item_adj's output.
+        w = jax.nn.softmax(jnp.asarray([0.5, 0.5]))
+        ov, oi = self._original_mix(w)
+        return (jnp.concatenate([jnp.zeros_like(ov), ov], 1),
+                jnp.concatenate([oi, oi], 1))
+
+    def _build_item_adj(self, params: Params):
+        """Learned + original item graph, all in ELL (vals, idx) form.
+
+        Dense equivalent (Model/LATTICE.py:117-135):
+        ``(1-λ) norm(w0 knn(img) + w1 knn(txt)) + λ (w0 orig_i + w1
+        orig_t)``.  The learned sum's sparsity pattern is the union of the
+        two modal top-k patterns, so its ELL form is the concatenation of
+        both (vals, idx) blocks; normalization then needs only row sums
+        (topk_sym_norm_ell), and gradients flow into the trs projections
+        through top_k's gather VJP exactly as through the dense where().
+        """
         image_feats = params["v_feat"] @ params["image_trs_w"].T + params["image_trs_b"]
         text_feats = params["t_feat"] @ params["text_trs_w"].T + params["text_trs_b"]
         w = jax.nn.softmax(params["modal_weight"])
-        learned = dense_norm_laplacian(
-            w[0] * dense_knn_sim(image_feats, self.topk)
-            + w[1] * dense_knn_sim(text_feats, self.topk)
+        sv, si = knn_topk_ell(image_feats, self.topk)
+        tv, ti = knn_topk_ell(text_feats, self.topk)
+        lv, li = topk_sym_norm_ell(
+            jnp.concatenate([w[0] * sv, w[1] * tv], 1),
+            jnp.concatenate([si, ti], 1),
         )
-        original = w[0] * self.image_original_adj + w[1] * self.text_original_adj
-        mixed = (1.0 - self.lambda_coeff) * learned + self.lambda_coeff * original
-        return mixed.astype(self.adj_dtype)
+        ov, oi = self._original_mix(w)
+        return (jnp.concatenate([(1.0 - self.lambda_coeff) * lv,
+                                 self.lambda_coeff * ov], 1),
+                jnp.concatenate([li, oi], 1))
 
     def _forward(self, params: Params, item_adj):
+        vals, idx = item_adj
         h = params["item_embedding"]
         for _ in range(self.mm_layers):
-            h = bdot(item_adj, h)
+            h = ell_rows_matvec(vals, idx, h)
         xu, xi = params["user_embedding"], params["item_embedding"]
         acc_u, acc_i = xu, xi
         for _ in range(self.n_layers):

@@ -25,9 +25,12 @@ import jax.numpy as jnp
 
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
-from chaorec_tpu.models.lattice import dense_knn_sim, dense_norm_laplacian
 from chaorec_tpu.models.slmrec import in_batch_ce
-from chaorec_tpu.ops.mxu import bdot
+from chaorec_tpu.ops.ell import (
+    ell_rows_matvec,
+    knn_topk_ell_host,
+    topk_sym_norm_host,
+)
 from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
 from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg, l2norm
 
@@ -42,7 +45,7 @@ class MGCN(RecModel):
                  t_feat, dim_E, reg_weight, ssl_temp, ssl_alpha,
                  compute_dtype: str = "bfloat16"):
         super().__init__(num_user, num_item)
-        adj_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        del compute_dtype  # modal graphs are ELL now: fp32-exact, (I, K)
         self.graph = graph
         self.dim_E = dim_E
         self.reg_weight = reg_weight
@@ -51,8 +54,12 @@ class MGCN(RecModel):
         self._v_init = v_feat
         self._t_init = t_feat
         k = min(self.knn_k, num_item)
-        self.image_adj = dense_norm_laplacian(dense_knn_sim(v_feat, k)).astype(adj_dtype)
-        self.text_adj = dense_norm_laplacian(dense_knn_sim(t_feat, k)).astype(adj_dtype)
+        # Frozen modal kNN graphs in ELL (vals, idx) form — per-step reads
+        # are (I, K) instead of (I, I) (Model/MGCN.py:16-70 semantics).
+        iv, ii_ = topk_sym_norm_host(*knn_topk_ell_host(v_feat, k))
+        tv, ti = topk_sym_norm_host(*knn_topk_ell_host(t_feat, k))
+        self.image_adj = (jnp.asarray(iv), jnp.asarray(ii_))
+        self.text_adj = (jnp.asarray(tv), jnp.asarray(ti))
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 12)
@@ -98,20 +105,11 @@ class MGCN(RecModel):
         content_u, content_i = acc_u * s, acc_i * s
 
         for _ in range(self.n_modal_layers):
-            image_item = bdot(self.image_adj, image_item)
-            text_item = bdot(self.text_adj, text_item)
+            image_item = ell_rows_matvec(*self.image_adj, image_item)
+            text_item = ell_rows_matvec(*self.text_adj, text_item)
         # modal user views via the normalized R block
-        g = self.graph
-        if g.use_dense:
-            image_user = bdot(g.dense_r, image_item)
-            text_user = bdot(g.dense_r, text_item)
-        else:
-            image_user = jax.ops.segment_sum(
-                g.w_by_u[:, None] * image_item[g.i_by_u], g.u_by_u,
-                num_segments=self.num_user, indices_are_sorted=True)
-            text_user = jax.ops.segment_sum(
-                g.w_by_u[:, None] * text_item[g.i_by_u], g.u_by_u,
-                num_segments=self.num_user, indices_are_sorted=True)
+        image_user = self.graph.apply_r(image_item)
+        text_user = self.graph.apply_r(text_item)
 
         def fuse(img, txt, content):
             att = jnp.concatenate(

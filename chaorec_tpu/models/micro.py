@@ -25,8 +25,7 @@ import jax.numpy as jnp
 
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
-from chaorec_tpu.models.lattice import dense_knn_sim, dense_norm_laplacian
-from chaorec_tpu.ops.mxu import bdot
+from chaorec_tpu.ops.ell import ell_rows_matvec, knn_topk_ell, topk_sym_norm_ell
 from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
 from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg, l2norm
 
@@ -51,9 +50,7 @@ class MICRO(RecModel):
                  ssl_temp, lambda_coeff, ssl_alpha,
                  compute_dtype: str = "bfloat16"):
         super().__init__(num_user, num_item)
-        self.adj_dtype = (
-            jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-        )
+        del compute_dtype  # ELL carried state is fp32-exact and tiny
         self.graph = graph
         self.dim_E = dim_E
         self.n_ui_layers = n_layers
@@ -64,8 +61,10 @@ class MICRO(RecModel):
         self.beta = ssl_alpha
         self._v_init = v_feat
         self._t_init = t_feat
-        self.image_original_adj = dense_norm_laplacian(dense_knn_sim(v_feat, ii_topk))
-        self.text_original_adj = dense_norm_laplacian(dense_knn_sim(t_feat, ii_topk))
+        # Frozen modal graphs in ELL (vals, idx) form — see LATTICE: the
+        # dense (I, I) similarity exists only transiently inside top_k.
+        self.image_original = topk_sym_norm_ell(*knn_topk_ell(v_feat, ii_topk))
+        self.text_original = topk_sym_norm_ell(*knn_topk_ell(t_feat, ii_topk))
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 7)
@@ -83,19 +82,34 @@ class MICRO(RecModel):
         }
 
     def init_state(self, rng: jax.Array):
-        # Carried adjacency state in the configured graph dtype (see
-        # LATTICE._build_item_adj note)
-        return (self.image_original_adj.astype(self.adj_dtype),
-                self.text_original_adj.astype(self.adj_dtype))
+        # Carried modal ELL graphs; shapes match _build_adjs' output
+        # ((I, 2K): zero-weighted learned block + original block).
+        def padded(orig):
+            ov, oi = orig
+            return (jnp.concatenate([jnp.zeros_like(ov), ov], 1),
+                    jnp.concatenate([oi, oi], 1))
+
+        return padded(self.image_original), padded(self.text_original)
 
     def _build_adjs(self, params: Params):
+        """Per-modality learned + original graphs in ELL form.
+
+        Dense equivalent (Model/MICRO.py:118-137): ``(1-λ) norm(knn(proj))
+        + λ orig`` per modality — the sum of two top-k graphs is the
+        concatenation of their (vals, idx) blocks (duplicate slots sum in
+        matvec, exactly like adding dense matrices)."""
         image_feats = params["v_feat"] @ params["image_trs_w"].T + params["image_trs_b"]
         text_feats = params["t_feat"] @ params["text_trs_w"].T + params["text_trs_b"]
-        img = dense_norm_laplacian(dense_knn_sim(image_feats, self.topk))
-        txt = dense_norm_laplacian(dense_knn_sim(text_feats, self.topk))
-        img = (1 - self.lambda_coeff) * img + self.lambda_coeff * self.image_original_adj
-        txt = (1 - self.lambda_coeff) * txt + self.lambda_coeff * self.text_original_adj
-        return img.astype(self.adj_dtype), txt.astype(self.adj_dtype)
+
+        def mix(feats, orig):
+            lv, li = topk_sym_norm_ell(*knn_topk_ell(feats, self.topk))
+            ov, oi = orig
+            return (jnp.concatenate([(1 - self.lambda_coeff) * lv,
+                                     self.lambda_coeff * ov], 1),
+                    jnp.concatenate([li, oi], 1))
+
+        return (mix(image_feats, self.image_original),
+                mix(text_feats, self.text_original))
 
     def _query(self, params, x):
         h = jnp.tanh(x @ params["query_w1"].T + params["query_b1"])
@@ -104,8 +118,8 @@ class MICRO(RecModel):
     def _forward(self, params: Params, adjs):
         img_adj, txt_adj = adjs
         items = params["item_embedding"]
-        image_item = bdot(img_adj, items)
-        text_item = bdot(txt_adj, items)
+        image_item = ell_rows_matvec(*img_adj, items)
+        text_item = ell_rows_matvec(*txt_adj, items)
         att = jnp.concatenate(
             [self._query(params, image_item), self._query(params, text_item)], -1
         )

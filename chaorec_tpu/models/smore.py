@@ -24,9 +24,13 @@ import jax.numpy as jnp
 
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
-from chaorec_tpu.models.lattice import dense_knn_sim, dense_norm_laplacian
 from chaorec_tpu.models.slmrec import in_batch_ce
-from chaorec_tpu.ops.mxu import bdot
+from chaorec_tpu.ops.ell import (
+    ell_rows_matvec,
+    ell_union_max,
+    knn_topk_ell_host,
+    topk_sym_norm_host,
+)
 from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
 from chaorec_tpu.ops.losses import l2norm, masked_mean
 
@@ -42,7 +46,7 @@ class SMORE(RecModel):
                  t_feat, dim_E, reg_weight, n_ui_layers, ii_topk, dropout,
                  compute_dtype: str = "bfloat16"):
         super().__init__(num_user, num_item)
-        adj_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        del compute_dtype  # modal graphs are ELL now: fp32-exact, (I, K)
         self.graph = graph
         self.dim_E = dim_E
         self.reg_weight = reg_weight
@@ -51,15 +55,18 @@ class SMORE(RecModel):
         self._v_init = v_feat
         self._t_init = t_feat
         k = min(ii_topk, num_item)
-        self.image_adj = dense_norm_laplacian(dense_knn_sim(v_feat, k))
-        self.text_adj = dense_norm_laplacian(dense_knn_sim(t_feat, k))
-        self.fusion_adj = jnp.maximum(self.image_adj, self.text_adj)
-        # Adjacency stores in the configured graph compute dtype (default
-        # bf16 MXU propagation, ops/mxu.py; cfg.graph_compute_dtype=float32
-        # restores fp32-parity numerics for reference comparisons).
-        self.image_adj = self.image_adj.astype(adj_dtype)
-        self.text_adj = self.text_adj.astype(adj_dtype)
-        self.fusion_adj = self.fusion_adj.astype(adj_dtype)
+        # Frozen modal graphs in ELL (vals, idx) form (ops/ell.py): the
+        # (I, I) matrices from Model/SMORE.py:19-88 exist only transiently
+        # inside the chunked top-k; per-step propagation reads (I, K)
+        # instead of (I, I) — ~I/K x less HBM traffic. The fusion graph is
+        # the elementwise max of the two normalized graphs on their union
+        # pattern, exactly like the dense maximum.
+        iv, ii_ = topk_sym_norm_host(*knn_topk_ell_host(v_feat, k))
+        tv, ti = topk_sym_norm_host(*knn_topk_ell_host(t_feat, k))
+        fv, fi = ell_union_max(iv, ii_, tv, ti)
+        self.image_adj = (jnp.asarray(iv), jnp.asarray(ii_))
+        self.text_adj = (jnp.asarray(tv), jnp.asarray(ti))
+        self.fusion_adj = (jnp.asarray(fv), jnp.asarray(fi))
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 16)
@@ -115,12 +122,7 @@ class SMORE(RecModel):
 
     def _r_matvec(self, x_items):
         """normalized R @ item-view (user side)."""
-        g = self.graph
-        if g.use_dense:
-            return bdot(g.dense_r, x_items)
-        return jax.ops.segment_sum(
-            g.w_by_u[:, None] * x_items[g.i_by_u], g.u_by_u,
-            num_segments=self.num_user, indices_are_sorted=True)
+        return self.graph.apply_r(x_items)
 
     def forward(self, params: Params, rng=None):
         image_feats = params["v_feat"] @ params["image_trs_w"].T + params["image_trs_b"]
@@ -141,9 +143,9 @@ class SMORE(RecModel):
         content_u, content_i = acc_u * s, acc_i * s
 
         for _ in range(self.n_modal_layers):
-            img_i = bdot(self.image_adj, img_i)
-            txt_i = bdot(self.text_adj, txt_i)
-            fus_i = bdot(self.fusion_adj, fus_i)
+            img_i = ell_rows_matvec(*self.image_adj, img_i)
+            txt_i = ell_rows_matvec(*self.text_adj, txt_i)
+            fus_i = ell_rows_matvec(*self.fusion_adj, fus_i)
         img_u = self._r_matvec(img_i)
         txt_u = self._r_matvec(txt_i)
         fus_u = self._r_matvec(fus_i)

@@ -205,25 +205,92 @@ def topk_sym_norm_ell(
     sim_topk_vals: jnp.ndarray,
     sim_topk_idx: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric normalization D^-1/2 A D^-1/2 of a top-k kNN graph kept
-    in (vals, idx) form — never materializing the (N, N) adjacency.
+    """Value-weighted D^-1/2 A D^-1/2 of a top-k kNN graph kept in
+    (vals, idx) form — never materializing the (N, N) adjacency.
 
     Matches the reference's build_knn_neighbourhood +
-    compute_normalized_laplacian pipeline (Model/LATTICE.py:46-75) for a
-    graph whose rows each hold exactly k nonzeros: row degrees are row
-    sums of vals, column degrees a segment-sum over idx.
+    compute_normalized_laplacian pipeline (Model/LATTICE.py:46-75)
+    exactly: since every off-top-k entry is zero, row i's degree is just
+    ``vals[i].sum()``, and the reference scales column j by the *row*
+    degree of row j (its D is built from row sums of the asymmetric
+    top-k-masked matrix), so both factors come from one row-sum vector —
+    a gather, no scatter.
 
     Differentiable wrt ``vals`` (the LATTICE learned graph flows gradients
     through the similarity weights).
     """
-    n, _ = sim_topk_vals.shape
     row_deg = sim_topk_vals.sum(axis=1)                       # (N,)
-    col_deg = jnp.zeros((n,), sim_topk_vals.dtype).at[
-        sim_topk_idx.reshape(-1)
-    ].add(sim_topk_vals.reshape(-1))
-    r = jax.lax.rsqrt(jnp.maximum(row_deg, 1e-7))[:, None]
-    c = jax.lax.rsqrt(jnp.maximum(col_deg, 1e-7))[sim_topk_idx]
-    return sim_topk_vals * r * c, sim_topk_idx
+    d = jax.lax.rsqrt(jnp.maximum(row_deg, 1e-7))
+    return sim_topk_vals * d[:, None] * d[sim_topk_idx], sim_topk_idx
+
+
+def knn_topk_ell(feats: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cosine-similarity top-k graph as (vals, idx) — build_sim +
+    build_knn_neighbourhood (Model/LATTICE.py:44-61) without keeping the
+    dense masked (N, N) matrix. Traceable (used under jit for learned
+    graphs) and differentiable wrt ``feats`` through top_k's gather VJP.
+    """
+    f = feats * jax.lax.rsqrt(
+        jnp.maximum((feats * feats).sum(-1, keepdims=True), 1e-24)
+    )
+    sim = jnp.dot(f, f.T, preferred_element_type=jnp.float32)
+    return jax.lax.top_k(sim, k)
+
+
+def knn_topk_ell_host(feats, k: int, chunk: int = 8192
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Init-time chunked top-k cosine graph: (vals, idx) without ever
+    holding the full (N, N) similarity (electronics' 51901 items would be
+    a 10.8 GB dense sim). Row chunks of the sim are built and reduced on
+    device, results land on host."""
+    f = np.asarray(feats, np.float32)
+    f = f / np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+    fd = jnp.asarray(f)
+    n = f.shape[0]
+    chunk_topk = jax.jit(
+        lambda rows, all_: jax.lax.top_k(
+            jnp.dot(rows, all_.T, preferred_element_type=jnp.float32), k
+        )
+    )
+    vals = np.empty((n, k), np.float32)
+    idx = np.empty((n, k), np.int32)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        v, i = chunk_topk(fd[s:e], fd)
+        vals[s:e] = np.asarray(v)
+        idx[s:e] = np.asarray(i)
+    return vals, idx
+
+
+def topk_sym_norm_host(vals: np.ndarray, idx: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host/numpy twin of ``topk_sym_norm_ell`` for init-time graphs."""
+    d = np.maximum(vals.sum(1), 1e-7) ** -0.5
+    return (vals * d[:, None] * d[idx]).astype(np.float32), idx
+
+
+def ell_union_max(a_vals, a_idx, b_vals, b_idx
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Elementwise maximum of two ELL graphs (SMORE's fusion adjacency,
+    Model/SMORE.py:19-88) as a new padded ELL pair. Host-side scipy; rows
+    of the union have at most K_a + K_b nonzeros."""
+    import scipy.sparse as sp
+
+    n = a_vals.shape[0]
+
+    def csr(vals, idx):
+        rows = np.repeat(np.arange(n), idx.shape[1])
+        return sp.csr_matrix(
+            (np.asarray(vals, np.float64).ravel(),
+             (rows, np.asarray(idx).ravel())),
+            shape=(n, n),
+        )
+
+    m = csr(a_vals, a_idx).maximum(csr(b_vals, b_idx)).tocoo()
+    idx, vals, _, _, _ = ell_from_coo(
+        m.row, m.col, m.data.astype(np.float32), n, cap=None
+    )
+    return vals, idx
 
 
 def ell_rows_matvec(vals: jnp.ndarray, idx: jnp.ndarray,

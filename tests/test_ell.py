@@ -114,13 +114,12 @@ def test_topk_sym_norm_and_rows_matvec(rng):
     sim = f @ f.T
     vals, idx = jax.lax.top_k(jnp.asarray(sim), k)
     nv, ni = topk_sym_norm_ell(vals, idx)
-    # Dense oracle: same normalization on the materialized kNN graph.
+    # Dense oracle: the reference's compute_normalized_laplacian
+    # (Model/LATTICE.py:50-56) scales BOTH sides by row-sum degrees.
     a = np.zeros((n, n), np.float32)
     a[np.arange(n)[:, None], np.asarray(idx)] = np.asarray(vals)
-    rd = a.sum(1)
-    cd = a.sum(0)
-    norm = a * (np.maximum(rd, 1e-7) ** -0.5)[:, None] \
-             * (np.maximum(cd, 1e-7) ** -0.5)[None, :]
+    rd = np.maximum(a.sum(1), 1e-7) ** -0.5
+    norm = a * rd[:, None] * rd[None, :]
     x = rng.standard_normal((n, d)).astype(np.float32)
     out = ell_rows_matvec(nv, ni, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), norm @ x, rtol=1e-4, atol=1e-5)
@@ -128,3 +127,38 @@ def test_topk_sym_norm_and_rows_matvec(rng):
     # gradient flows through vals (learned-graph requirement)
     gv = jax.grad(lambda v: (ell_rows_matvec(v, ni, jnp.asarray(x)) ** 2).sum())(nv)
     assert np.isfinite(np.asarray(gv)).all() and np.abs(np.asarray(gv)).sum() > 0
+
+
+def test_lattice_ell_item_adj_matches_dense_formula(rng, tiny_dataset):
+    """LATTICE's ELL item_adj == the reference's dense mix formula."""
+    import jax
+
+    from chaorec_tpu.models.lattice import (
+        LATTICE, dense_knn_sim, dense_norm_laplacian,
+    )
+
+    ds = tiny_dataset
+    g = build_norm_adj(ds.train_edges, ds.num_user, ds.num_item,
+                       use_dense=True)
+    m = LATTICE(ds.num_user, ds.num_item, g, jnp.asarray(ds.v_feat),
+                jnp.asarray(ds.t_feat), 16, 16, 1e-3, 1, 1, 5, 0.3)
+    params = m.init_params(jax.random.PRNGKey(0))
+    vals, idx = m._build_item_adj(params)
+    n = ds.num_item
+    mat = np.zeros((n, n), np.float32)
+    np.add.at(
+        mat,
+        (np.repeat(np.arange(n), idx.shape[1]), np.asarray(idx).ravel()),
+        np.asarray(vals).ravel(),
+    )
+    w = jax.nn.softmax(params["modal_weight"])
+    learned = dense_norm_laplacian(
+        w[0] * dense_knn_sim(params["v_feat"] @ params["image_trs_w"].T
+                             + params["image_trs_b"], 5)
+        + w[1] * dense_knn_sim(params["t_feat"] @ params["text_trs_w"].T
+                               + params["text_trs_b"], 5)
+    )
+    original = w[0] * dense_norm_laplacian(dense_knn_sim(jnp.asarray(ds.v_feat), 5)) \
+        + w[1] * dense_norm_laplacian(dense_knn_sim(jnp.asarray(ds.t_feat), 5))
+    expected = (1 - 0.3) * np.asarray(learned) + 0.3 * np.asarray(original)
+    np.testing.assert_allclose(mat, expected, rtol=1e-4, atol=1e-5)
