@@ -136,3 +136,144 @@ def test_cli_mesh_shape_flag(tiny_dataset):
     model = build_model(cfg, tiny_dataset)
     best = Trainer(model, tiny_dataset, cfg).run()
     assert best[20]["recall"] > 0.55, best
+
+
+def test_sharded_mmssl_step_matches_single_device(tiny_dataset):
+    """The stateful adversarial family (MMSSL): one sharded D+G step ==
+    the single-device step (VERDICT r1 item 3)."""
+    from chaorec_tpu.parallel.mesh import (
+        make_sharded_mmssl_step,
+        shard_state,
+    )
+
+    ds = tiny_dataset
+    cfg = Config(Model="MMSSL", batch_size=64, dim_E=16, learning_rate=1e-3)
+    model = build_model(cfg, ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mstate = model.init_state(jax.random.PRNGKey(1))
+    rs = np.random.default_rng(1)
+    b = 64
+    batch = Batch(
+        jnp.asarray(rs.integers(0, ds.num_user, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.ones((b,), jnp.float32), jnp.int32(0), None,
+    )
+    rng = jax.random.PRNGKey(9)
+
+    mesh1 = make_mesh(1)
+    step1, opt_d, opt_main = make_sharded_mmssl_step(model, mesh1, 1e-3)
+    p1, _, _, s1, loss1 = step1(
+        params, opt_d.init(params), opt_main.init(params), mstate, batch, rng
+    )
+
+    mesh = make_mesh(8)
+    params = model.init_params(jax.random.PRNGKey(0))  # fresh (donated above)
+    mstate = model.init_state(jax.random.PRNGKey(1))
+    p_sh = shard_params(params, mesh)
+    s_sh = shard_state(mstate, mesh)
+    b_sh = shard_batch(batch, mesh)
+    step8, opt_d8, opt_main8 = make_sharded_mmssl_step(model, mesh, 1e-3)
+    p8, _, _, s8, loss8 = step8(
+        p_sh, opt_d8.init(p_sh), opt_main8.init(p_sh), s_sh, b_sh, rng
+    )
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-4)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_diffmm_steps_match_single_device(tiny_dataset):
+    """The diffusion-rebuild family (DiffMM): sharded denoiser step and
+    BPR step == single-device (VERDICT r1 item 3)."""
+    from chaorec_tpu.parallel.mesh import (
+        make_sharded_diffmm_steps,
+        shard_state,
+    )
+
+    ds = tiny_dataset
+    cfg = Config(Model="DiffMM", batch_size=64, dim_E=16, learning_rate=1e-3)
+    model = build_model(cfg, ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    state = model.rebuild_graphs(params, jax.random.PRNGKey(2))
+    rs = np.random.default_rng(1)
+    b = 64
+    users = jnp.asarray(rs.integers(0, ds.num_user, b).astype(np.int32))
+    weights = jnp.ones((b,), jnp.float32)
+    batch = Batch(
+        users,
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        weights, jnp.int32(0), None,
+    )
+    rng = jax.random.PRNGKey(5)
+
+    mesh1 = make_mesh(1)
+    dn1, opt_dn, bpr1, opt_m = make_sharded_diffmm_steps(model, mesh1, 1e-3)
+    p1, _, dl1 = dn1(params, opt_dn.init(params), users, weights, rng)
+    pb1, _, bl1 = bpr1(p1, opt_m.init(p1), state, batch)
+
+    mesh = make_mesh(8)
+    params = model.init_params(jax.random.PRNGKey(0))  # fresh (donated above)
+    state = model.rebuild_graphs(params, jax.random.PRNGKey(2))
+    p_sh = shard_params(params, mesh)
+    s_sh = shard_state(state, mesh)
+    from chaorec_tpu.parallel.mesh import shard_batch as _sb
+    dn8, opt_dn8, bpr8, opt_m8 = make_sharded_diffmm_steps(model, mesh, 1e-3)
+    u_sh = _sb(Batch(users, users, users, weights, None, None), mesh).users
+    w_sh = _sb(Batch(users, users, users, weights, None, None), mesh).weights
+    p8, _, dl8 = dn8(p_sh, opt_dn8.init(p_sh), u_sh, w_sh, rng)
+    pb8, _, bl8 = bpr8(p8, opt_m8.init(p8), s_sh, _sb(batch, mesh))
+
+    np.testing.assert_allclose(float(dl8), float(dl1), rtol=1e-4)
+    np.testing.assert_allclose(float(bl8), float(bl1), rtol=1e-4)
+    for (k1, l1), (k8, l8) in zip(
+        jax.tree_util.tree_leaves_with_path(pb1),
+        jax.tree_util.tree_leaves_with_path(pb8),
+    ):
+        assert k1 == k8
+        np.testing.assert_allclose(np.asarray(l8), np.asarray(l1),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_multvae_step_matches_single_device(tiny_dataset):
+    """The dense user-row family (MultVAE): sharded stateful step ==
+    single-device (VERDICT r1 item 3). Users shard over the mesh; the
+    dense (U, I) interaction buffer row-shards with them."""
+    from chaorec_tpu.parallel.mesh import (
+        make_sharded_stateful_step,
+        shard_state,
+    )
+
+    ds = tiny_dataset
+    cfg = Config(Model="MultVAE", batch_size=64, dim_E=16,
+                 learning_rate=1e-3)
+    model = build_model(cfg, ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mstate = model.init_state(jax.random.PRNGKey(1))
+    rs = np.random.default_rng(1)
+    b = 64
+    users = jnp.asarray(rs.integers(0, ds.num_user, b).astype(np.int32))
+    batch = Batch(users, users * 0, users * 0,
+                  jnp.ones((b,), jnp.float32), jnp.int32(0), None)
+    rng = jax.random.PRNGKey(5)
+    opt = optax.adam(1e-3)
+
+    mesh1 = make_mesh(1)
+    step1 = make_sharded_stateful_step(model, opt, mesh1)
+    p1, _, s1, loss1 = step1(params, opt.init(params), mstate, batch, rng)
+
+    mesh = make_mesh(8)
+    params = model.init_params(jax.random.PRNGKey(0))  # fresh (donated above)
+    mstate = model.init_state(jax.random.PRNGKey(1))
+    p_sh = shard_params(params, mesh)
+    step8 = make_sharded_stateful_step(model, opt, mesh)
+    p8, _, s8, loss8 = step8(p_sh, opt.init(p_sh),
+                             shard_state(mstate, mesh),
+                             shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-4)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
+                                   rtol=1e-4, atol=1e-5)
