@@ -59,7 +59,7 @@ def main():
             if g.ell is not None:
                 print(f"  [{label}] K={g.ell.idx.shape[1]} "
                       f"Kt={g.ell.t_idx.shape[1]} "
-                      f"ov={g.ell.ov_src.shape[0]}+{g.ell.t_ov_src.shape[0]}")
+                      f"ov={g.ell.ov_dst.shape[0]}+{g.ell.t_ov_dst.shape[0]}")
             tf = timeit(fwd, g, xu, xi)
             tb = timeit(fwdbwd, g, xu, xi)
             print(f"  [{label}] fwd(2 layers) {tf*1e3:8.3f} ms   "

@@ -34,7 +34,7 @@ def test_ell_matvec_matches_dense_with_overflow(rng):
     num_rows, num_cols, d = 60, 45, 8
     src, dst, w = _random_coo(rng, num_rows, num_cols, 400)
     a = EllMatrix.from_coo(src, dst, w, num_rows, num_cols, cap=8)
-    assert a.ov_src.shape[0] > 0  # cap low enough to force overflow
+    assert a.ov_dst.shape[0] > 0  # cap low enough to force overflow
     x = rng.standard_normal((num_cols, d)).astype(np.float32)
     dense = _dense(src, dst, w, num_rows, num_cols)
     np.testing.assert_allclose(
@@ -73,12 +73,15 @@ def test_ell_under_jit_as_pytree(rng):
     )
 
 
-def test_auto_cap_spill_bound():
+def test_auto_cap_cost_model():
+    # 990 degree-1 rows + 10 degree-100 rows: padding everyone to 100
+    # costs 100k gathered slots; K=8 costs 8k + overflow on 920 edges.
     deg = np.array([1] * 990 + [100] * 10)
-    k = auto_cap(deg, spill_frac=0.5)
-    assert k == 8  # spilling 920 of 1990 edges <= 50%
-    k2 = auto_cap(deg, spill_frac=0.0)
-    assert k2 == 104  # max degree rounded to multiple of 8
+    assert auto_cap(deg) == 8
+    # huge overflow penalty forces max-degree padding
+    assert auto_cap(deg, overflow_factor=1e6) == 104
+    # uniform degree: K == degree rounded up to the sublane multiple
+    assert auto_cap(np.full(100, 13)) == 16
 
 
 def test_ell_from_coo_rank_placement():
@@ -89,7 +92,8 @@ def test_ell_from_coo_rank_placement():
     assert idx.shape == (3, 8)  # cap rounds up to sublane multiple
     assert set(idx[0, :3].tolist()) == {5, 6, 7}
     assert wm[1].sum() == 0
-    assert ov_s.shape[0] == 0
+    assert ov_s.shape == (4,) and ov_s[-1] == 0  # CSR ptr, empty overflow
+    assert ov_d.shape[0] == 0
 
 
 def test_graph_ell_path_matches_segment(rng, tiny_dataset):

@@ -277,3 +277,47 @@ def test_sharded_multvae_step_matches_single_device(tiny_dataset):
     for k in p1:
         np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_freedom_step_matches_single_device(tiny_dataset):
+    """FREEDOM (the second BASELINE.json north-star model): sharded step
+    with the trainable modality tables row-sharded over mp == the
+    single-device step. The 62M-param sports feature table is exactly
+    what mp-sharding buys headroom for (VERDICT r1 item 4)."""
+    ds = tiny_dataset
+    cfg = Config(Model="FREEDOM", batch_size=64, dim_E=16, feature_embed=16,
+                 ii_topk=5, n_layers=1, mm_layers=1, dropout=0.1,
+                 lambda_coeff=0.8, learning_rate=1e-3, reg_weight=1e-3)
+    model = build_model(cfg, ds)
+    rs = np.random.default_rng(1)
+    b = 64
+    batch = Batch(
+        jnp.asarray(rs.integers(0, ds.num_user, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.ones((b,), jnp.float32), jnp.int32(0), None,
+    )
+    rng = jax.random.PRNGKey(3)
+    opt = optax.adam(1e-3)
+
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh1 = make_mesh(1)
+    step1 = make_sharded_train_step(model, opt, mesh1)
+    p1, _, loss1 = step1(params, opt.init(params), batch, rng)
+
+    # fresh model+params: the donating step above consumed the aliased
+    # feature-table buffers shared between model and params
+    model = build_model(cfg, ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    p_sh = shard_params(params, mesh)
+    # the trainable feature tables really are distributed:
+    v_sharding = p_sh["v_feat"].sharding
+    assert "mp" in str(v_sharding.spec) or not v_sharding.is_fully_replicated
+    step8 = make_sharded_train_step(model, opt, mesh)
+    p8, _, loss8 = step8(p_sh, opt.init(p_sh), shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-4)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
+                                   rtol=1e-4, atol=1e-5)
