@@ -19,4 +19,35 @@ id offset).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (opt-out: CHAOREC_NO_COMPILE_CACHE).
+
+    First compiles of the big epoch scans cost minutes through the remote
+    TPU tunnel; caching serialized executables on disk makes every rerun
+    of an unchanged program (grid combos, bench, parity runs, resumed
+    training) skip compilation entirely. Safe to set after ``import jax``
+    as long as nothing has compiled yet.
+    """
+    if _os.environ.get("CHAOREC_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                _os.path.expanduser("~/.cache/chaorec_jax_cache"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
+
+_enable_compile_cache()
+
 from chaorec_tpu.config import Config, load_yaml_config  # noqa: F401
