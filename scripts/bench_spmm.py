@@ -19,12 +19,13 @@ from chaorec_tpu.graphs.norm_adj import build_norm_adj  # noqa: E402
 
 
 def timeit(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # float() forces a real blocking fetch — jax.block_until_ready is not
+    # reliable on the remote-tunnel platform
+    float(fn(*args))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(out)
     return (time.perf_counter() - t0) / n
 
 
@@ -41,13 +42,15 @@ def main():
     xu = jnp.asarray(rs.standard_normal((nu, dim)).astype(np.float32))
     xi = jnp.asarray(rs.standard_normal((ni, dim)).astype(np.float32))
 
-    def loss(g, xu, xi):
-        u, i = g.propagate(xu, xi)
-        u2, i2 = g.propagate(u, i)
-        return (u2 * u2).sum() + (i2 * i2).sum()
-
-    fwd = jax.jit(lambda g, xu, xi: loss(g, xu, xi))
-    fwdbwd = jax.jit(jax.grad(loss, argnums=(1, 2)))
+    def make_loss(n_layers):
+        def loss(g, xu, xi):
+            acc = 0.0
+            u, i = xu, xi
+            for _ in range(n_layers):
+                u, i = g.propagate(u, i)
+                acc = acc + (u * u).sum() + (i * i).sum()
+            return acc
+        return loss
 
     for label, kwargs in [
         ("segment", dict(use_dense=False, use_ell=False)),
@@ -59,13 +62,16 @@ def main():
             if g.ell is not None:
                 print(f"  [{label}] K={g.ell.idx.shape[1]} "
                       f"Kt={g.ell.t_idx.shape[1]} "
-                      f"ov={g.ell.ov_dst.shape[0]}+{g.ell.t_ov_dst.shape[0]}")
-            tf = timeit(fwd, g, xu, xi)
-            tb = timeit(fwdbwd, g, xu, xi)
-            print(f"  [{label}] fwd(2 layers) {tf*1e3:8.3f} ms   "
-                  f"fwd+bwd {tb*1e3:8.3f} ms")
+                      f"ov={g.ell.ov_dst.shape[0]}+{g.ell.t_ov_dst.shape[0]}",
+                      flush=True)
+            for n_layers in (1, 2, 3):
+                loss = make_loss(n_layers)
+                fb = jax.jit(jax.grad(loss, argnums=(1, 2)))
+                tb = timeit(lambda g, xu, xi: fb(g, xu, xi)[0].sum(), g, xu, xi)
+                print(f"  [{label}] n_layers={n_layers} fwd+bwd "
+                      f"{tb*1e3:8.3f} ms", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"  [{label}] failed: {type(e).__name__}: {e}")
+            print(f"  [{label}] failed: {type(e).__name__}: {e}", flush=True)
 
 
 if __name__ == "__main__":

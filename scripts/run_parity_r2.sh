@@ -31,6 +31,10 @@ speed() {
   echo "=== S $model/$data exit $? $(date +%H:%M:%S)"
 }
 
+# ---- propagation-path microbench (PARITY.md n_layers evidence) ----
+timeout 1800 python scripts/bench_spmm.py microlens 64 \
+    > parity_logs/spmm_microlens.txt 2>&1
+
 # ---- speed re-runs first (each ~5-20 min incl. compile) ----
 speed LATTICE  microlens 1800
 speed DRAGON   sports    1800
