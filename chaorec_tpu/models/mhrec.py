@@ -166,20 +166,40 @@ class MHRec(RecModel):
         return jax.lax.top_k(scores, self.num_hypernodes)[1]
 
     # ------------------------------------------------------------------
-    def _hyper_attn(self, a, h_nodes, x):
+    def build_layout(self, h_nodes):
+        """Per-epoch sorted-segment layout of a rebuilt incidence: one
+        argsort of the (He*k,) flattened node slots buys scatter-free
+        node aggregation (fwd AND bwd) for every step of the epoch.
+        Segment num_nodes collects the padding sentinels."""
+        from chaorec_tpu.ops.ell import build_segment_transpose
+
+        flat = h_nodes.reshape(-1).astype(jnp.int32)
+        perm, ptr = build_segment_transpose(flat, self.num_nodes + 1)
+        return flat, perm, ptr
+
+    def _hyper_attn(self, a, h_nodes, layout, x):
         """HypergraphAttentionLayer (Model/MHRec.py:37-89) on the rebuilt
-        fixed-width incidence (He, k)."""
+        fixed-width incidence (He, k). The reference scatters per batch
+        (`.at[].add` ~ torch scatter_add); here node aggregation rides
+        the epoch-precomputed ``layout`` (seg_sum/seg_gather custom-VJP
+        pair) so neither the forward nor the gradient emits an XLA
+        scatter."""
+        from chaorec_tpu.ops.ell import seg_gather, seg_sum
+
         he, k = h_nodes.shape
-        edge_emb = jnp.sum(x[h_nodes], axis=1)  # E = H^T X
-        xi = x[h_nodes]  # (He, k, E)
+        flat, perm, ptr = layout
+        x_pad = jnp.concatenate(
+            [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+        xi = seg_gather(x_pad, flat, perm, ptr).reshape(he, k, -1)
+        edge_emb = jnp.sum(xi, axis=1)  # E = H^T X
         ej = jnp.broadcast_to(edge_emb[:, None, :], xi.shape)
         e = (jnp.concatenate([xi, ej], axis=-1) @ a)[..., 0]  # (He, k)
         e_exp = jnp.exp(e)
-        flat_nodes = h_nodes.reshape(-1)
-        sums = jnp.zeros((x.shape[0],)).at[flat_nodes].add(e_exp.reshape(-1))
-        alpha = e_exp / (sums[h_nodes] + 1e-16)
+        sums = seg_sum(e_exp.reshape(-1), flat, perm, ptr)  # (N+1,)
+        denom = seg_gather(sums[:, None], flat, perm, ptr).reshape(he, k)
+        alpha = e_exp / (denom + 1e-16)
         msg = (alpha[..., None] * ej).reshape(-1, x.shape[1])
-        return jnp.zeros_like(x).at[flat_nodes].add(msg)
+        return seg_sum(msg, flat, perm, ptr)[:self.num_nodes]
 
     def _gcn_mean(self, xu, xi):
         us, its = [xu], [xi]
@@ -189,35 +209,52 @@ class MHRec(RecModel):
             its.append(xi)
         return sum(us) / len(us), sum(its) / len(its)
 
-    def forward(self, params: Params, h_v, h_t, rng: jax.Array):
+    def forward(self, params: Params, h_v, h_t, rng: jax.Array,
+                layouts=None):
         """Model/MHRec.py:708-779. ``rng`` drives the always-on
-        F.dropout(0.5) after each hypergraph layer (reference quirk)."""
+        F.dropout(0.5) after each hypergraph layer (reference quirk).
+        ``layouts`` (from :meth:`build_layout` per modality) are epoch
+        constants the trainer hoists out of the step scan."""
+        if layouts is None:
+            layouts = (self.build_layout(h_v), self.build_layout(h_t))
+        lay_v, lay_t = layouts
         v_emb = params["v_feat"] @ params["img_w"].T + params["img_b"]
         t_emb = params["t_feat"] @ params["txt_w"].T + params["txt_b"]
         w = jax.nn.softmax(params["modal_weight"])
 
-        def modal_tower(pre, u_modal, feats, h_nodes, key):
+        # the three GCN towers share the adjacency and are linear in the
+        # features: run them as ONE 3E-wide propagate (MXU-friendly)
+        e = self.dim_E
+        gu3, gi3 = self._gcn_mean(
+            jnp.concatenate([params["u_v_emb"], params["u_t_emb"],
+                             params["u_emb"]], axis=1),
+            jnp.concatenate([l2norm(v_emb), l2norm(t_emb),
+                             params["i_emb"]], axis=1))
+
+        def modal_tower(pre, u_modal, feats, h_nodes, lay, gslice, key):
             x = jnp.concatenate([u_modal, l2norm(feats)], axis=0)
             stack = [x]
             for l in range(self.h_layers):
                 nxt = self._hyper_attn(params[f"{pre}_a{l}"], h_nodes,
-                                       stack[-1])
+                                       lay, stack[-1])
                 nxt = nxt + stack[-1]
                 keep = 1.0 - self.hyper_dropout
                 nxt = nxt * jax.random.bernoulli(
                     jax.random.fold_in(key, l), keep, nxt.shape) / keep
                 stack.append(nxt)
             hyper = sum(stack) / len(stack)
-            gu, gi = self._gcn_mean(u_modal, l2norm(feats))
+            gu, gi = gu3[:, gslice], gi3[:, gslice]
             return hyper + self.beta1 * jnp.concatenate([gu, gi], axis=0)
 
         k_v, k_t = jax.random.split(rng)
-        embeds_v = modal_tower("hv", params["u_v_emb"], v_emb, h_v, k_v)
-        embeds_t = modal_tower("ht", params["u_t_emb"], t_emb, h_t, k_t)
+        embeds_v = modal_tower("hv", params["u_v_emb"], v_emb, h_v, lay_v,
+                               slice(0, e), k_v)
+        embeds_t = modal_tower("ht", params["u_t_emb"], t_emb, h_t, lay_t,
+                               slice(e, 2 * e), k_t)
         modal = w[0] * embeds_v + w[1] * embeds_t
 
-        gu, gi = self._gcn_mean(params["u_emb"], params["i_emb"])
-        embeds_g = jnp.concatenate([gu, gi], axis=0)
+        embeds_g = jnp.concatenate(
+            [gu3[:, 2 * e:], gi3[:, 2 * e:]], axis=0)
         all_embs = embeds_g + self.beta2 * l2norm(modal)
         return (all_embs[:self.num_user], all_embs[self.num_user:],
                 embeds_v, embeds_t, embeds_g)
@@ -233,10 +270,11 @@ class MHRec(RecModel):
             nume - catalog_logsumexp(p1, n2, self.ssl_temp), weights)
 
     def loss_hyper(self, params: Params, batch: Batch, h_v, h_t,
-                   rng: jax.Array):
+                   rng: jax.Array, layouts=None):
         """Phase-C loss (Model/MHRec.py:842-864); returns (loss, result)
         with the cached forward output for eval parity."""
-        u_g, i_g, e_v, e_t, e_g = self.forward(params, h_v, h_t, rng)
+        u_g, i_g, e_v, e_t, e_g = self.forward(params, h_v, h_t, rng,
+                                               layouts)
         ue = u_g[batch.users]
         pe = i_g[batch.pos_items]
         ne = i_g[batch.neg_items]
@@ -353,6 +391,9 @@ class MHRecTrainer:
             rng, k_shuf = jax.random.split(rng)
             users, pos, weights, _ = make_epoch_batches(
                 k_shuf, edges, cfg.batch_size)
+            # one argsort per epoch; every step's node aggregation is then
+            # scatter-free (seg_sum/seg_gather over this layout)
+            layouts = (model.build_layout(h_v), model.build_layout(h_t))
 
             def step(carry, xs):
                 params, opt_state, mstate, rng = carry
@@ -363,7 +404,7 @@ class MHRecTrainer:
                 batch = Batch(u, p, neg, w)
                 (loss, mstate), grads = jax.value_and_grad(
                     model.loss_hyper, has_aux=True)(params, batch, h_v,
-                                                    h_t, k_fwd)
+                                                    h_t, k_fwd, layouts)
                 upd, opt_state = base.optimizer.update(grads, opt_state,
                                                        params)
                 params = optax.apply_updates(params, upd)

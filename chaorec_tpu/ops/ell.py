@@ -323,6 +323,88 @@ def ell_union_max(a_vals, a_idx, b_vals, b_idx
     return vals, idx
 
 
+def build_segment_transpose(indices: jnp.ndarray, num_segments: int
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """On-device transpose layout for scatter-free segmented reduction.
+
+    For a flat index vector (e.g. the flattened node slots of a rebuilt
+    hypergraph incidence), returns ``(perm, ptr)`` such that
+    ``indices[perm]`` is sorted and ``ptr`` is the (num_segments+1,) CSR
+    row-pointer. Computed ONCE per graph rebuild (one device sort); every
+    subsequent per-step reduction becomes permute-gather + cumsum +
+    pointer-gather (``segment_reduce``) — no scatter in the step program.
+    """
+    perm = jnp.argsort(indices)
+    sorted_idx = indices[perm]
+    ptr = jnp.searchsorted(sorted_idx, jnp.arange(num_segments + 1))
+    return perm, ptr.astype(jnp.int32)
+
+
+def _seg_sum_primal(values, flat_idx, perm, ptr):
+    v = values[perm]
+    squeeze = v.ndim == 1
+    if squeeze:
+        v = v[:, None]
+    cs = jnp.cumsum(v.astype(jnp.float32), axis=0)
+    cs = jnp.concatenate([jnp.zeros((1, cs.shape[1]), cs.dtype), cs], 0)
+    out = cs[ptr[1:]] - cs[ptr[:-1]]
+    return out[:, 0] if squeeze else out
+
+
+@jax.custom_vjp
+def seg_sum(values: jnp.ndarray, flat_idx: jnp.ndarray, perm: jnp.ndarray,
+            ptr: jnp.ndarray) -> jnp.ndarray:
+    """``out[s] = sum_{j: flat_idx[j]==s} values[j]`` — scatter-free in
+    BOTH directions.
+
+    ``values`` is in original (unpermuted) order, shape (M,) or (M, D);
+    ``(perm, ptr)`` come from :func:`build_segment_transpose(flat_idx)`
+    (computed once per graph rebuild); output has ``ptr.shape[0] - 1``
+    rows. Forward: permute-gather + prefix-sum + pointer-gather diff.
+    Backward: ``d values[j] = g[flat_idx[j]]`` — a pure gather, so the
+    step program's gradient never lowers to an XLA scatter.
+    """
+    return _seg_sum_primal(values, flat_idx, perm, ptr)
+
+
+def _seg_sum_fwd(values, flat_idx, perm, ptr):
+    stub = jnp.zeros((0,), values.dtype)  # dtype carrier for the bwd cast
+    return (_seg_sum_primal(values, flat_idx, perm, ptr),
+            (flat_idx, perm, ptr, stub))
+
+
+def _seg_sum_bwd(res, g):
+    flat_idx, perm, ptr, stub = res
+    return (jnp.take(g, flat_idx, axis=0).astype(stub.dtype),
+            _zero_cot(flat_idx), _zero_cot(perm), _zero_cot(ptr))
+
+
+seg_sum.defvjp(_seg_sum_fwd, _seg_sum_bwd)
+
+
+@jax.custom_vjp
+def seg_gather(x: jnp.ndarray, flat_idx: jnp.ndarray, perm: jnp.ndarray,
+               ptr: jnp.ndarray) -> jnp.ndarray:
+    """``x[flat_idx]`` whose VJP is :func:`seg_sum` instead of XLA's
+    scatter-add — the transposed twin of ``seg_sum``. ``ptr`` must have
+    ``x.shape[0] + 1`` entries (segments over x's rows)."""
+    return jnp.take(x, flat_idx, axis=0)
+
+
+def _seg_gather_fwd(x, flat_idx, perm, ptr):
+    stub = jnp.zeros((0,), x.dtype)
+    return jnp.take(x, flat_idx, axis=0), (flat_idx, perm, ptr, stub)
+
+
+def _seg_gather_bwd(res, g):
+    flat_idx, perm, ptr, stub = res
+    return (_seg_sum_primal(g, flat_idx, perm, ptr).astype(stub.dtype),
+            _zero_cot(flat_idx), _zero_cot(perm), _zero_cot(ptr))
+
+
+seg_gather.defvjp(_seg_gather_fwd, _seg_gather_bwd)
+
+
 def ell_rows_matvec(vals: jnp.ndarray, idx: jnp.ndarray,
                     x: jnp.ndarray) -> jnp.ndarray:
     """out[r] = sum_k vals[r,k] * x[idx[r,k]] for a square top-k graph.

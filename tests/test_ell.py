@@ -166,3 +166,96 @@ def test_lattice_ell_item_adj_matches_dense_formula(rng, tiny_dataset):
         + w[1] * dense_norm_laplacian(dense_knn_sim(jnp.asarray(ds.t_feat), 5))
     expected = (1 - 0.3) * np.asarray(learned) + 0.3 * np.asarray(original)
     np.testing.assert_allclose(mat, expected, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# seg_sum / seg_gather: scatter-free segmented reduction (MHRec attention)
+# ---------------------------------------------------------------------------
+
+def test_seg_sum_matches_scatter_and_grads(rng):
+    from chaorec_tpu.ops.ell import (build_segment_transpose, seg_gather,
+                                     seg_sum)
+
+    rs = np.random.default_rng(7)
+    m, n, d = 513, 37, 5
+    idx = jnp.asarray(rs.integers(0, n, m), jnp.int32)
+    vals = jnp.asarray(rs.standard_normal((m, d)), jnp.float32)
+    perm, ptr = build_segment_transpose(idx, n)
+
+    ref = jnp.zeros((n, d)).at[idx].add(vals)
+    got = seg_sum(vals, idx, perm, ptr)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    # 1-D values path
+    v1 = jnp.asarray(rs.standard_normal(m), jnp.float32)
+    ref1 = jnp.zeros((n,)).at[idx].add(v1)
+    np.testing.assert_allclose(seg_sum(v1, idx, perm, ptr), ref1,
+                               rtol=1e-5, atol=1e-5)
+
+    # custom VJP == autodiff of the scatter formulation
+    def f_new(v):
+        return jnp.sum(jnp.sin(seg_sum(v, idx, perm, ptr)))
+
+    def f_ref(v):
+        return jnp.sum(jnp.sin(jnp.zeros((n, d)).at[idx].add(v)))
+
+    np.testing.assert_allclose(jax.grad(f_new)(vals), jax.grad(f_ref)(vals),
+                               rtol=1e-5, atol=1e-5)
+
+    # seg_gather fwd == take; bwd == segment-sum of cotangents
+    x = jnp.asarray(rs.standard_normal((n, d)), jnp.float32)
+    np.testing.assert_allclose(seg_gather(x, idx, perm, ptr), x[idx])
+
+    def g_new(x):
+        return jnp.sum(jnp.cos(seg_gather(x, idx, perm, ptr)))
+
+    def g_ref(x):
+        return jnp.sum(jnp.cos(x[idx]))
+
+    np.testing.assert_allclose(jax.grad(g_new)(x), jax.grad(g_ref)(x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mhrec_hyper_attn_scatter_free_matches_reference(rng):
+    """The layout-based _hyper_attn must equal the direct scatter
+    formulation (value and gradient)."""
+    from chaorec_tpu.models.mhrec import MHRec
+
+    rs = np.random.default_rng(3)
+    nu, ni, e, he, k = 11, 17, 8, 29, 4
+    num_nodes = nu + ni
+    model = MHRec.__new__(MHRec)
+    model.num_user, model.num_item = nu, ni
+    model.num_nodes = num_nodes
+
+    h_nodes = jnp.asarray(rs.integers(0, num_nodes, (he, k)), jnp.int32)
+    x = jnp.asarray(rs.standard_normal((num_nodes, e)), jnp.float32)
+    a = jnp.asarray(rs.standard_normal((2 * e, 1)) * 0.1, jnp.float32)
+    layout = model.build_layout(h_nodes)
+
+    def scatter_ref(a, x):
+        edge_emb = jnp.sum(x[h_nodes], axis=1)
+        xi = x[h_nodes]
+        ej = jnp.broadcast_to(edge_emb[:, None, :], xi.shape)
+        es = (jnp.concatenate([xi, ej], axis=-1) @ a)[..., 0]
+        e_exp = jnp.exp(es)
+        flat = h_nodes.reshape(-1)
+        sums = jnp.zeros((num_nodes,)).at[flat].add(e_exp.reshape(-1))
+        alpha = e_exp / (sums[h_nodes] + 1e-16)
+        msg = (alpha[..., None] * ej).reshape(-1, e)
+        return jnp.zeros_like(x).at[flat].add(msg)
+
+    got = model._hyper_attn(a, h_nodes, layout, x)
+    ref = scatter_ref(a, x)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    ga, gx = jax.grad(
+        lambda a, x: jnp.sum(model._hyper_attn(a, h_nodes, layout, x) ** 2),
+        argnums=(0, 1))(a, x)
+    ra, rx = jax.grad(
+        lambda a, x: jnp.sum(scatter_ref(a, x) ** 2), argnums=(0, 1))(a, x)
+    # tolerance scaled to the gradient's magnitude: fp32 prefix-sum
+    # reordering leaves ~1e-5-relative noise on near-zero entries
+    for g, r in ((ga, ra), (gx, rx)):
+        scale = float(jnp.abs(r).max())
+        np.testing.assert_allclose(g, r, rtol=1e-3, atol=2e-5 * scale)
