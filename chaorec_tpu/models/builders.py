@@ -682,8 +682,12 @@ def _mhrec(cfg: Config, ds: RecDataset):
 
     v, t = _feats(ds)
     hv, ht = _mhrec_hyperedges(cfg, ds, v, t)
+    # force_sparse: the phase-C forward applies R/R^T 2*n_layers times per
+    # step at 3E width; the ELL gather-reduce path moves ~nnz*3E floats vs
+    # the dense operator's U*I MACs — ~10x less work at beauty scale.
     return MHRec(
-        ds.num_user, ds.num_item, _ui_graph(cfg, ds), jnp.asarray(hv),
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds, force_sparse=True),
+        jnp.asarray(hv),
         jnp.asarray(ht), v, t, cfg.dim_E, cfg.reg_weight, cfg.ii_topk,
         cfg.uu_topk, cfg.num_hypernodes, cfg.n_layers, cfg.h_layers,
         cfg.ssl_temp, cfg.ssl_alpha, cfg.beta1, cfg.beta2,

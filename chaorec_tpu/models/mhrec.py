@@ -340,6 +340,15 @@ class MHRecTrainer:
              "frozen": optax.set_to_zero()},
             dn_labels,
         )
+        # Phase-C Adam skips the two denoiser DNNs (138M params on beauty):
+        # their phase-C grads are identically zero, and torch Adam skips
+        # grad=None params (the reference never touches them outside the
+        # fresh per-epoch denoise optimizers) — so set_to_zero is exact
+        # parity and saves ~5 GB/step of optimizer-state traffic.
+        base.optimizer = optax.multi_transform(
+            {"dn": optax.set_to_zero(), "frozen": base.optimizer},
+            dn_labels,
+        )
 
         def edge_ids(n):
             return jnp.stack([jnp.arange(n, dtype=jnp.int32),
