@@ -682,11 +682,12 @@ def _mhrec(cfg: Config, ds: RecDataset):
 
     v, t = _feats(ds)
     hv, ht = _mhrec_hyperedges(cfg, ds, v, t)
-    # force_sparse: the phase-C forward applies R/R^T 2*n_layers times per
-    # step at 3E width; the ELL gather-reduce path moves ~nnz*3E floats vs
-    # the dense operator's U*I MACs — ~10x less work at beauty scale.
+    # Measured (r2): the dense bf16 propagate beats the ELL gather path
+    # here — phase-C applies R/R^T at 3E width inside a 91-step scan and
+    # the MXU matmul wins on beauty-scale (U, I) despite the extra MACs
+    # (11.3 s vs 10.0 s device epoch with force_sparse=True).
     return MHRec(
-        ds.num_user, ds.num_item, _ui_graph(cfg, ds, force_sparse=True),
+        ds.num_user, ds.num_item, _ui_graph(cfg, ds),
         jnp.asarray(hv),
         jnp.asarray(ht), v, t, cfg.dim_E, cfg.reg_weight, cfg.ii_topk,
         cfg.uu_topk, cfg.num_hypernodes, cfg.n_layers, cfg.h_layers,
