@@ -53,11 +53,23 @@ class GUME(RecModel):
     knn_k = 10
     ref_batch = 1024.0
 
+    # dense bf16 propagation only below this (U*I) size; bigger graphs
+    # keep the O(E) ELL path regardless of dtype
+    dense_entry_budget = 8e8
+
     def __init__(self, num_user, num_item, edges: np.ndarray, v_feat, t_feat,
                  dim_E, n_layers, n_ui_layers, um_loss, vt_loss,
                  compute_dtype: str = "bfloat16"):
         super().__init__(num_user, num_item)
-        del compute_dtype  # graphs are ELL now: fp32-exact, O(E) storage
+        # Measured on sports (scripts/ablate_gume4.py): the 3-layer
+        # _conv_ui fwd+bwd is 57.7 ms via ELL gathers (XLA row-gather is
+        # transaction-bound — bf16 messages and wider caps don't help)
+        # vs 19.3 ms as dense bf16 MXU matmuls. Gate on the graph dtype
+        # so fp32 runs keep the exact ELL path (advisor r1).
+        self.graph_bf16 = (
+            compute_dtype == "bfloat16"
+            and num_user * num_item <= self.dense_entry_budget
+        )
         self.dim_E = dim_E
         self.n_layers = n_layers
         self.n_ui_layers = n_ui_layers
@@ -68,8 +80,17 @@ class GUME(RecModel):
         k = min(self.knn_k, num_item)
         iv, ii_ = topk_sym_norm_host(*knn_topk_ell_host(v_feat, k))
         tv, ti = topk_sym_norm_host(*knn_topk_ell_host(t_feat, k))
-        self.image_adj = (jnp.asarray(iv), jnp.asarray(ii_))
-        self.text_adj = (jnp.asarray(tv), jnp.asarray(ti))
+        if self.graph_bf16:
+            def knn_dense(vals, idx):
+                d = np.zeros((num_item, num_item), np.float32)
+                r = np.repeat(np.arange(num_item), idx.shape[1])
+                d[r, np.asarray(idx).ravel()] = np.asarray(vals).ravel()
+                return jnp.asarray(d, jnp.bfloat16)
+            self.image_adj = knn_dense(iv, ii_)
+            self.text_adj = knn_dense(tv, ti)
+        else:
+            self.image_adj = (jnp.asarray(iv), jnp.asarray(ii_))
+            self.text_adj = (jnp.asarray(tv), jnp.asarray(ti))
 
         # I-I intersection edges + combined normalized adjacency blocks.
         vi = _knn_indices(np.asarray(v_feat), k)
@@ -95,11 +116,6 @@ class GUME(RecModel):
         # matrices (GUME.py:215-264 semantics, custom joint degrees).
         uedges = np.unique(edges[:, :2], axis=0)  # a_ui assigns, not adds
         ew = du[uedges[:, 0]] * di[uedges[:, 1]]
-        self.r_norm = EllMatrix.from_coo(
-            uedges[:, 0], uedges[:, 1], ew, num_user, num_item,
-            cap=auto_cap(np.bincount(uedges[:, 0], minlength=num_user)),
-            cap_t=auto_cap(np.bincount(uedges[:, 1], minlength=num_item)),
-        )
         if rows:
             r_arr = np.asarray(rows)
             c_arr = np.asarray(cols)
@@ -108,9 +124,22 @@ class GUME(RecModel):
             r_arr = np.zeros((0,), np.int64)
             c_arr = np.zeros((0,), np.int64)
             iw = np.zeros((0,), np.float32)
-        self.ii_norm = EllMatrix.from_coo(
-            r_arr, c_arr, iw, num_item, num_item,
-        )
+        if self.graph_bf16:
+            r_d = np.zeros((num_user, num_item), np.float32)
+            r_d[uedges[:, 0], uedges[:, 1]] = ew
+            self.r_norm = jnp.asarray(r_d, jnp.bfloat16)
+            ii_d = np.zeros((num_item, num_item), np.float32)
+            ii_d[r_arr, c_arr] = iw
+            self.ii_norm = jnp.asarray(ii_d, jnp.bfloat16)
+        else:
+            self.r_norm = EllMatrix.from_coo(
+                uedges[:, 0], uedges[:, 1], ew, num_user, num_item,
+                cap=auto_cap(np.bincount(uedges[:, 0], minlength=num_user)),
+                cap_t=auto_cap(np.bincount(uedges[:, 1], minlength=num_item)),
+            )
+            self.ii_norm = EllMatrix.from_coo(
+                r_arr, c_arr, iw, num_item, num_item,
+            )
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 14)
@@ -138,15 +167,40 @@ class GUME(RecModel):
         p.update(sep_w1=q1w, sep_b1=q1b, sep_w2=q2w)
         return p
 
+    def _R(self, x):
+        """R_norm @ x: (I, d) -> (U, d)."""
+        if self.graph_bf16:
+            return jax.lax.dot_general(
+                self.r_norm, x.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return self.r_norm.matvec(x)
+
+    def _Rt(self, x):
+        """R_norm^T @ x: (U, d) -> (I, d) — contract dim 0, no copy."""
+        if self.graph_bf16:
+            return jax.lax.dot_general(
+                self.r_norm, x.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return self.r_norm.t.matvec(x)
+
+    def _II(self, x):
+        if self.graph_bf16:
+            return jax.lax.dot_general(
+                self.ii_norm, x.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return self.ii_norm.matvec(x)
+
     def _conv_ui(self, xu, xi):
         """mean of layers 0..n_ui over the AUGMENTED adjacency blocks."""
-        r, ii = self.r_norm, self.ii_norm
         acc_u, acc_i = xu, xi
         cu, ci = xu, xi
         for _ in range(self.n_ui_layers):
             cu, ci = (
-                r.matvec(ci),
-                r.t.matvec(cu) + ii.matvec(ci),
+                self._R(ci),
+                self._Rt(cu) + self._II(ci),
             )
             acc_u = acc_u + cu
             acc_i = acc_i + ci
@@ -169,7 +223,13 @@ class GUME(RecModel):
 
         def conv_ii(adj, x):
             for _ in range(self.n_layers):
-                x = ell_rows_matvec(*adj, x)
+                if self.graph_bf16:
+                    x = jax.lax.dot_general(
+                        adj, x.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    x = ell_rows_matvec(*adj, x)
             return x
 
         exp_img_i = conv_ii(self.image_adj, img_item)
@@ -181,8 +241,7 @@ class GUME(RecModel):
         # towers per layer (layer-mean propagation is columnwise-
         # independent, so the split results are exactly the per-tower
         # results).
-        exp_u = self.r_norm.matvec(
-            jnp.concatenate([exp_img_i, exp_txt_i], 1))
+        exp_u = self._R(jnp.concatenate([exp_img_i, exp_txt_i], 1))
         exp_img_u, exp_txt_u = jnp.split(exp_u, 2, axis=1)
 
         cat_u = jnp.concatenate(

@@ -48,7 +48,9 @@ def _ell_kernel(idx_ref, w_ref, x_ref, out_ref):
         out_ref[r, :] = acc
         return 0
 
-    jax.lax.fori_loop(0, out_ref.shape[0], row, 0, unroll=4)
+    # Mosaic's fori lowering only supports unroll=1 or full unroll;
+    # unroll=4 fails to lower on real TPU (works only in interpret mode).
+    jax.lax.fori_loop(0, out_ref.shape[0], row, 0, unroll=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -77,32 +77,35 @@ def main() -> None:
                   n if getattr(model, "needs_int_items", False) else None)
     opt = optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
 
+    # model is a pytree ARGUMENT everywhere (never a closure: its graph
+    # buffers would be baked into the remote-compile payload — HTTP 413)
     stateful = getattr(model, "stateful", False)
     if stateful:
         mstate = model.init_state(rng)
-        loss_fn = lambda pr, r: model.loss_stateful(pr, mstate, batch, r)[0]
+        loss_fn = lambda m, pr, r: m.loss_stateful(pr, mstate, batch, r)[0]
     else:
-        loss_fn = lambda pr, r: model.loss(pr, batch, r)
+        loss_fn = lambda m, pr, r: m.loss(pr, batch, r)
 
-    fwd = jax.jit(lambda pr: model.embeddings(pr))
+    fwd = jax.jit(lambda m, pr: m.embeddings(pr))
     loss_j = jax.jit(loss_fn)
-    vgrad = jax.jit(lambda pr, r: jax.value_and_grad(loss_fn)(pr, r))
+    vgrad = jax.jit(
+        lambda m, pr, r: jax.value_and_grad(loss_fn, argnums=1)(m, pr, r))
     opt_state = opt.init(params)
 
     @jax.jit
-    def full_step(pr, st, r):
-        loss, grads = jax.value_and_grad(loss_fn)(pr, r)
+    def full_step(m, pr, st, r):
+        loss, grads = jax.value_and_grad(loss_fn, argnums=1)(m, pr, r)
         updates, st = opt.update(grads, st, pr)
         return optax.apply_updates(pr, updates), st, loss
 
     try:
-        timeit("forward (embeddings)", fwd, params, iters=iters)
+        timeit("forward (embeddings)", fwd, model, params, iters=iters)
     except NotImplementedError:
         print("  forward (embeddings)        n/a")
-    timeit("loss forward", loss_j, params, rng, iters=iters)
-    timeit("value_and_grad", vgrad, params, rng, iters=iters)
-    ms = timeit("full step (grad+adam)", full_step, params, opt_state, rng,
-                iters=iters)
+    timeit("loss forward", loss_j, model, params, rng, iters=iters)
+    timeit("value_and_grad", vgrad, model, params, rng, iters=iters)
+    ms = timeit("full step (grad+adam)", full_step, model, params, opt_state,
+                rng, iters=iters)
     steps = (len(ds.train_edges) + bs - 1) // bs
     print(f"  -> {steps} steps/epoch = {ms*steps/1e3:.2f} s/epoch (step-only)")
 
