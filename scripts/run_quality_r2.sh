@@ -35,16 +35,17 @@ combo AdaGCL netfilx 10800 '{"n_layers": 2, "learning_rate": 0.001, "reg_weight"
 # HCCF/netfilx: ref best 0.2331 at this combo (21-combo partial log).
 combo HCCF netfilx 10800 '{"n_layers": 3, "learning_rate": 0.001, "reg_weight": 1e-05, "ssl_alpha": 0.1, "ssl_temp": 0.5, "leaky": 1.0, "keepRate": 1.0, "mult": 0.01}'
 
-# CF_Diff/beauty: ref log truncated (no Best block); full early-stopped
-# run at the first yaml combo for the trajectory/quality record.
+# Clothing id-only targets with FULL reference best blocks:
+combo LightGODE clothing 7200 '{"gamma": 0.2, "learning_rate": 0.001, "t": 5.0}'
+combo BSPM clothing 7200 '{"K_s": 4, "T_s": 2, "K_b": 1, "T_b": 1, "idl_beta": 1.0}'
+combo FKAN_GCF clothing 10800 '{"n_layers": 3, "learning_rate": 0.001, "reg_weight": 1, "node_dropout": 0.2, "message_dropout": 0, "grid_size": 2}'
+
+# CF_Diff/beauty LAST (tail absorber): ref log truncated (no Best
+# block); full early-stopped run at the first yaml combo for the
+# trajectory/quality record.
 echo "=== Q CF_Diff/beauty start $(date +%H:%M:%S)"
 timeout 18000 python scripts/run_speed_single.py --Model CF_Diff \
     --data_path beauty --data_root "$DATA" --log_dir parity_logs \
     > parity_logs/CF_Diff_beauty.stdout 2>&1
 echo "=== Q CF_Diff/beauty exit $? $(date +%H:%M:%S)"
-
-# Clothing id-only targets with FULL reference best blocks:
-combo LightGODE clothing 7200 '{"gamma": 0.2, "learning_rate": 0.001, "t": 5.0}'
-combo BSPM clothing 7200 '{"K_s": 4, "T_s": 2, "K_b": 1, "T_b": 1, "idl_beta": 1.0}'
-combo FKAN_GCF clothing 10800 '{"n_layers": 3, "learning_rate": 0.001, "reg_weight": 1, "node_dropout": 0.2, "message_dropout": 0, "grid_size": 2}'
 echo "=== ALL DONE $(date +%H:%M:%S)"

@@ -275,3 +275,26 @@ def test_ranklist_excludes_history(tiny_dataset):
         topk = set(rank[u, :20].tolist())
         # 1e-6 masking pushes history out of any realistic top-k.
         assert not (seen & topk), u
+
+
+@pytest.mark.fast
+def test_gume_dense_bf16_matches_ell_fp32(tiny_dataset):
+    """GUME's dense bf16 MXU propagation (the fast path picked on
+    beauty/sports scale, scripts/ablate_gume4.py) must agree with the
+    exact fp32 ELL path to bf16 rounding tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = Config(Model="GUME", dim_E=16, n_layers=1, n_ui_layers=3,
+                 um_loss=0.1, vt_loss=0.01)
+    m_bf = build_model(cfg, tiny_dataset)
+    m_fp = build_model(
+        cfg.replace(graph_compute_dtype="float32"), tiny_dataset)
+    assert m_bf.graph_bf16 and not m_fp.graph_bf16
+    params = m_fp.init_params(jax.random.PRNGKey(0))
+    out_bf = jax.jit(lambda m, p: m.forward(p))(m_bf, params)
+    out_fp = jax.jit(lambda m, p: m.forward(p))(m_fp, params)
+    for a, b in zip(out_bf, out_fp):
+        scale = jnp.maximum(jnp.max(jnp.abs(b)), 1e-6)
+        assert jnp.max(jnp.abs(a - b)) / scale < 3e-2, (
+            float(jnp.max(jnp.abs(a - b))), float(scale))
