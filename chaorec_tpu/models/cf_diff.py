@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from chaorec_tpu.models.base import Batch, Params, RecModel
 from chaorec_tpu.ops import diffusion as diff
 from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
+from chaorec_tpu.ops.pallas_attn import fused_mha, use_fused_attn
 
 
 class CF_Diff(RecModel):
@@ -122,11 +123,24 @@ class CF_Diff(RecModel):
             return t.reshape(bsz, ln, h, dh).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh)
-        attn = jax.nn.softmax(scores, axis=-1)
-        if rng is not None:
-            attn = attn * jax.random.bernoulli(rng, 0.5, attn.shape) / 0.5
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        if use_fused_attn():
+            # Fused VMEM kernel (ops/pallas_attn.py): never materializes
+            # the (B, h, 1034, 1034) score/softmax/mask tensors in HBM;
+            # attention-weight dropout bits come from the in-kernel
+            # hardware PRNG (mask distribution identical, stream differs
+            # from jax.random — same torch-vs-jax caveat as everywhere).
+            if rng is not None:
+                seed = jax.random.bits(rng, (1,)).astype(jnp.int32)
+                out = fused_mha(q, k, v, seed, 0.5)
+            else:
+                out = fused_mha(q, k, v, jnp.zeros((1,), jnp.int32), 1.0)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh)
+            attn = jax.nn.softmax(scores, axis=-1)
+            if rng is not None:
+                attn = attn * jax.random.bernoulli(rng, 0.5,
+                                                   attn.shape) / 0.5
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(query.shape)
         return out @ p[f"attn_out_w{i}"].T + p[f"attn_out_b{i}"]
 
