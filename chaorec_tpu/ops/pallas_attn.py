@@ -50,12 +50,23 @@ def _softmax_rows(s):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _dot_nt(a, b):
+    """a @ b.T without materializing the transpose (Mosaic-friendly)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_tn(a, b):
+    """a.T @ b without materializing the transpose."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, lk, scale,
                 keep_prob, n_qb):
     g = pl.program_id(0)
     qb = pl.program_id(1)
-    s = jnp.dot(q_ref[0], k_ref[0].T,
-                preferred_element_type=jnp.float32) * scale
+    s = _dot_nt(q_ref[0], k_ref[0]) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < lk, s, -1e30)
     a = _softmax_rows(s)
@@ -76,8 +87,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
         dk_ref[0] = jnp.zeros(dk_ref.shape[1:], dk_ref.dtype)
         dv_ref[0] = jnp.zeros(dv_ref.shape[1:], dv_ref.dtype)
 
-    s = jnp.dot(q_ref[0], k_ref[0].T,
-                preferred_element_type=jnp.float32) * scale
+    s = _dot_nt(q_ref[0], k_ref[0]) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < lk, s, -1e30)
     a = _softmax_rows(s)
@@ -88,14 +98,13 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
     else:
         ad = a
     gout = g_ref[0]
-    dv_ref[0] += jnp.dot(ad.T, gout, preferred_element_type=jnp.float32)
-    dad = jnp.dot(gout, v_ref[0].T, preferred_element_type=jnp.float32)
+    dv_ref[0] += _dot_tn(ad, gout)
+    dad = _dot_nt(gout, v_ref[0])
     da = dad * d if keep_prob < 1.0 else dad
     ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
     dq_ref[0] = jnp.dot(ds, k_ref[0],
                         preferred_element_type=jnp.float32) * scale
-    dk_ref[0] += jnp.dot(ds.T, q_ref[0],
-                         preferred_element_type=jnp.float32) * scale
+    dk_ref[0] += _dot_tn(ds, q_ref[0]) * scale
 
 
 def _pad_q(t, lq_p):

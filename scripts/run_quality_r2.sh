@@ -9,6 +9,17 @@ cd /root/repo
 mkdir -p parity_logs
 DATA=/root/reference/Data
 
+# Step 0: validate + time the fused attention kernel on the chip, then
+# re-time CF_Diff's epoch with it (quick: 8 epochs).
+echo "=== V fused-attn validation $(date +%H:%M:%S)"
+timeout 1800 python scripts/validate_attn_tpu.py \
+    > parity_logs/attn_validation.txt 2>&1
+echo "=== V exit $? $(date +%H:%M:%S)"
+timeout 3000 python scripts/run_speed_single.py --Model CF_Diff \
+    --data_path beauty --num_epoch 6 --data_root "$DATA" \
+    --log_dir /tmp > parity_logs/CF_Diff_beauty.speed.stdout 2>&1
+echo "=== V cf_diff speed exit $? $(date +%H:%M:%S)"
+
 combo() {
   local model="$1" data="$2" tmo="$3" json="$4"
   echo "=== C $model/$data start $(date +%H:%M:%S)"
