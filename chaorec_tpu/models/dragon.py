@@ -42,8 +42,7 @@ class DRAGON(DualGNN):
         )
 
     def forward(self, params: Params):
-        vu, vi = self._tower(params, "v", self.v_feat)
-        tu, ti = self._tower(params, "t", self.t_feat)
+        vu, vi, tu, ti = self._towers(params)
         item_rep = jnp.concatenate([vi, ti], axis=1)  # (I, 2d)
         w = params["weight_u"]  # (U, 2, 1)
         user_rep = jnp.concatenate(
@@ -59,8 +58,7 @@ class DRAGON(DualGNN):
 
     def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:
         # batch-rows-only user/mm-graph aggregation (see COHESION.loss)
-        vu, vi = self._tower(params, "v", self.v_feat)
-        tu, ti = self._tower(params, "t", self.t_feat)
+        vu, vi, tu, ti = self._towers(params)
         item_rep = jnp.concatenate([vi, ti], axis=1)
         wq = params["weight_u"]
         user_rep = jnp.concatenate([wq[:, 0] * vu, wq[:, 1] * tu], axis=1)

@@ -75,21 +75,31 @@ class DualGNN(RecModel):
             p[f"{mod}_mlp_w2"], p[f"{mod}_mlp_b2"] = w2, b2
         return p
 
-    def _tower(self, params, mod, feat):
-        tf = jax.nn.leaky_relu(
-            feat @ params[f"{mod}_mlp_w1"].T + params[f"{mod}_mlp_b1"], 0.01
-        )
-        tf = tf @ params[f"{mod}_mlp_w2"].T + params[f"{mod}_mlp_b2"]
-        xu = params[f"{mod}_preference"]
-        x = l2norm(jnp.concatenate([xu, tf], axis=0))
-        cu, ci = x[: self.num_user], x[self.num_user:]
+    def _towers(self, params):
+        """Both modality towers through ONE 2d-wide propagation pair:
+        the shared adjacency is columnwise-independent, so splitting the
+        batched result gives exactly the per-tower outputs (one edge
+        gather per layer instead of two — see COHESION._towers)."""
+        cus, cis = [], []
+        for mod, feat in (("v", self.v_feat), ("t", self.t_feat)):
+            tf = jax.nn.leaky_relu(
+                feat @ params[f"{mod}_mlp_w1"].T + params[f"{mod}_mlp_b1"],
+                0.01)
+            tf = tf @ params[f"{mod}_mlp_w2"].T + params[f"{mod}_mlp_b2"]
+            x = l2norm(jnp.concatenate(
+                [params[f"{mod}_preference"], tf], axis=0))
+            cus.append(x[: self.num_user])
+            cis.append(x[self.num_user:])
+        cu = jnp.concatenate(cus, axis=1)
+        ci = jnp.concatenate(cis, axis=1)
         h_u, h_i = self.graph.propagate(cu, ci)
         h1_u, h1_i = self.graph.propagate(h_u, h_i)
-        return cu + h_u + h1_u, ci + h_i + h1_i
+        au, ai = cu + h_u + h1_u, ci + h_i + h1_i
+        (vu, tu), (vi, ti) = jnp.split(au, 2, 1), jnp.split(ai, 2, 1)
+        return vu, vi, tu, ti
 
     def forward(self, params: Params):
-        vu, vi = self._tower(params, "v", self.v_feat)
-        tu, ti = self._tower(params, "t", self.t_feat)
+        vu, vi, tu, ti = self._towers(params)
         item_rep = vi + ti
         stacked = jnp.stack([vu, tu], axis=2)  # (U, d, 2)
         user_rep = jnp.squeeze(
@@ -110,8 +120,7 @@ class DualGNN(RecModel):
         # batch users' rows (identical math to forward()+gather; the
         # full-table (U, 40) gather+backward dominated the step otherwise
         # — see COHESION.loss)
-        vu, vi = self._tower(params, "v", self.v_feat)
-        tu, ti = self._tower(params, "t", self.t_feat)
+        vu, vi, tu, ti = self._towers(params)
         fi = vi + ti
         stacked = jnp.stack([vu, tu], axis=2)
         user_rep = jnp.squeeze(

@@ -146,9 +146,12 @@ class SMORE(RecModel):
             img_i = ell_rows_matvec(*self.image_adj, img_i)
             txt_i = ell_rows_matvec(*self.text_adj, txt_i)
             fus_i = ell_rows_matvec(*self.fusion_adj, fus_i)
-        img_u = self._r_matvec(img_i)
-        txt_u = self._r_matvec(txt_i)
-        fus_u = self._r_matvec(fus_i)
+        # one 3d-wide apply of the SAME R serves all three modal user
+        # views: the operator is columnwise-independent, so the split
+        # results are exactly the per-view matvecs (one edge gather
+        # instead of three)
+        mu = self._r_matvec(jnp.concatenate([img_i, txt_i, fus_i], axis=1))
+        img_u, txt_u, fus_u = jnp.split(mu, 3, axis=1)
 
         def assemble(img, txt, fus, content):
             att_v = jax.nn.softmax(self._query(params, "query_v", fus), axis=-1)
