@@ -20,6 +20,20 @@ timeout 3000 python scripts/run_speed_single.py --Model CF_Diff \
     --log_dir /tmp > parity_logs/CF_Diff_beauty.speed.stdout 2>&1
 echo "=== V cf_diff speed exit $? $(date +%H:%M:%S)"
 
+# Step 0b: re-time the models whose propagation was restructured this
+# round (batched towers / bf16 cl); honest epoch_time_s totals.
+speed() {
+  local model="$1" data="$2" tmo="$3"
+  echo "=== S $model/$data start $(date +%H:%M:%S)"
+  timeout "$tmo" python scripts/run_speed_single.py --Model "$model" \
+      --data_path "$data" --num_epoch 8 --data_root "$DATA" \
+      --log_dir /tmp > "parity_logs/${model}_${data}.speed.stdout" 2>&1
+  echo "=== S $model/$data exit $? $(date +%H:%M:%S)"
+}
+speed SMORE sports 2400
+speed DRAGON sports 2400
+speed MICRO microlens 3000
+
 combo() {
   local model="$1" data="$2" tmo="$3" json="$4"
   echo "=== C $model/$data start $(date +%H:%M:%S)"
