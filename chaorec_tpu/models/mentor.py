@@ -90,41 +90,58 @@ class MENTOR(RecModel):
             p[f"{name}_mlp_w2"], p[f"{name}_mlp_b2"] = w2, b2
         return p
 
-    def _tower(self, params, name, feat, rng=None):
-        tf = jax.nn.leaky_relu(
-            feat @ params[f"{name}_mlp_w1"].T + params[f"{name}_mlp_b1"], 0.01
-        )
-        tf = tf @ params[f"{name}_mlp_w2"].T + params[f"{name}_mlp_b2"]
-        x = l2norm(jnp.concatenate([params[f"{name}_preference"], tf], axis=0))
-        cu, ci = x[: self.num_user], x[self.num_user:]
+    def _towers(self, params, specs):
+        """All towers through ONE 7d-wide propagation pair: the shared
+        adjacency is columnwise-independent and the inter-layer noise is
+        elementwise per column slice, so splitting the batched result is
+        exactly the per-tower outputs (2 edge gathers instead of 14)."""
+        d = params["v_preference"].shape[1]
+        cus, cis = [], []
+        for name, feat, _ in specs:
+            tf = jax.nn.leaky_relu(
+                feat @ params[f"{name}_mlp_w1"].T
+                + params[f"{name}_mlp_b1"], 0.01)
+            tf = tf @ params[f"{name}_mlp_w2"].T + params[f"{name}_mlp_b2"]
+            x = l2norm(jnp.concatenate(
+                [params[f"{name}_preference"], tf], axis=0))
+            cus.append(x[: self.num_user])
+            cis.append(x[self.num_user:])
+        cu = jnp.concatenate(cus, axis=1)
+        ci = jnp.concatenate(cis, axis=1)
 
-        def perturb(k, xu, xi):
-            if k is None:
-                return xu, xi
-            ku, ki = jax.random.split(k)
-            nu = l2norm(jax.random.uniform(ku, xu.shape))
-            ni = l2norm(jax.random.uniform(ki, xi.shape))
-            return (xu + jnp.sign(xu) * nu * self.noise_eps,
-                    xi + jnp.sign(xi) * ni * self.noise_eps)
+        def perturb_slices(step, xu, xi):
+            outs_u, outs_i = [], []
+            for j, (_, _, key) in enumerate(specs):
+                su = xu[:, j * d:(j + 1) * d]
+                si = xi[:, j * d:(j + 1) * d]
+                if key is not None:
+                    k = jax.random.fold_in(key, step)
+                    ku, ki = jax.random.split(k)
+                    nu = l2norm(jax.random.uniform(ku, su.shape))
+                    ni = l2norm(jax.random.uniform(ki, si.shape))
+                    su = su + jnp.sign(su) * nu * self.noise_eps
+                    si = si + jnp.sign(si) * ni * self.noise_eps
+                outs_u.append(su)
+                outs_i.append(si)
+            return jnp.concatenate(outs_u, 1), jnp.concatenate(outs_i, 1)
 
-        k1 = k2 = None
-        if rng is not None:
-            k1, k2 = jax.random.split(rng)
         h_u, h_i = self.graph.propagate(cu, ci)
-        h_u, h_i = perturb(k1, h_u, h_i)
+        h_u, h_i = perturb_slices(0, h_u, h_i)
         h1_u, h1_i = self.graph.propagate(h_u, h_i)
-        h1_u, h1_i = perturb(k2, h1_u, h1_i)
-        return cu + h_u + h1_u, ci + h_i + h1_i
+        h1_u, h1_i = perturb_slices(1, h1_u, h1_i)
+        au, ai = cu + h_u + h1_u, ci + h_i + h1_i
+        n = len(specs)
+        return jnp.split(au, n, 1), jnp.split(ai, n, 1)
 
     def forward(self, params: Params, rng=None):
         ks = list(jax.random.split(rng, 4)) if rng is not None else [None] * 4
-        v_u, v_i = self._tower(params, "v", self.v_feat)
-        t_u, t_i = self._tower(params, "t", self.t_feat)
-        id_u, id_i = self._tower(params, "id", params["id_feat"])
-        vn1_u, vn1_i = self._tower(params, "v_n1", self.v_feat, ks[0])
-        tn1_u, tn1_i = self._tower(params, "t_n1", self.t_feat, ks[1])
-        vn2_u, vn2_i = self._tower(params, "v_n2", self.v_feat, ks[2])
-        tn2_u, tn2_i = self._tower(params, "t_n2", self.t_feat, ks[3])
+        specs = [("v", self.v_feat, None), ("t", self.t_feat, None),
+                 ("id", params["id_feat"], None),
+                 ("v_n1", self.v_feat, ks[0]), ("t_n1", self.t_feat, ks[1]),
+                 ("v_n2", self.v_feat, ks[2]), ("t_n2", self.t_feat, ks[3])]
+        us, is_ = self._towers(params, specs)
+        (v_u, t_u, id_u, vn1_u, tn1_u, vn2_u, tn2_u) = us
+        (v_i, t_i, id_i, vn1_i, tn1_i, vn2_i, tn2_i) = is_
 
         w = params["weight_u"]  # (U, 2, 1)
 

@@ -69,9 +69,15 @@ class MGCL(RecModel):
     def forward(self, params: Params):
         v_emb = self.v_feat @ params["image_trs_w"].T + params["image_trs_b"]
         t_emb = self.t_feat @ params["text_trs_w"].T + params["text_trs_b"]
-        u_g, i_g = self._tower(params["user_embedding"], params["item_embedding"])
-        u_v, i_v = self._tower(params["user_embedding_v"], v_emb)
-        u_t, i_t = self._tower(params["user_embedding_t"], t_emb)
+        # one 3d-wide propagation serves all three towers (the shared
+        # adjacency is columnwise-independent; exact per-tower results)
+        au, ai = self._tower(
+            jnp.concatenate([params["user_embedding"],
+                             params["user_embedding_v"],
+                             params["user_embedding_t"]], 1),
+            jnp.concatenate([params["item_embedding"], v_emb, t_emb], 1))
+        u_g, u_v, u_t = jnp.split(au, 3, 1)
+        i_g, i_v, i_t = jnp.split(ai, 3, 1)
         return u_g, i_g, u_v, i_v, u_t, i_t
 
     def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:

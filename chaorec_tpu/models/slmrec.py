@@ -97,9 +97,13 @@ class SLMRec(RecModel):
         xu = params["user_embedding"]
         v_emb = self.v_feat @ params["v_dense_w"].T + params["v_dense_b"]
         t_emb = self.t_feat @ params["t_dense_w"].T + params["t_dense_b"]
-        iu, ii = self._tower(xu, params["item_embedding"])
-        vu, vi = self._tower(xu, v_emb)
-        tu, ti = self._tower(xu, t_emb)
+        # one 3d-wide propagation serves all three towers (the shared
+        # adjacency is columnwise-independent; exact per-tower results)
+        au, ai = self._tower(
+            jnp.concatenate([xu, xu, xu], 1),
+            jnp.concatenate([params["item_embedding"], v_emb, t_emb], 1))
+        iu, vu, tu = jnp.split(au, 3, 1)
+        ii, vi, ti = jnp.split(ai, 3, 1)
         user = jnp.concatenate([iu, vu, tu], 1) @ params["after_u_w"].T + params["after_u_b"]
         item = jnp.concatenate([ii, vi, ti], 1) @ params["after_i_w"].T + params["after_i_b"]
         return user, item, (ii, vi, ti)
