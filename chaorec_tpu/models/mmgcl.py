@@ -111,6 +111,15 @@ class MMGCL(RecModel):
         xu = params["user_embeddings"]
         v_emb = self.v_feat @ params["v_dense_w"].T + params["v_dense_b"]
         t_emb = self.t_feat @ params["t_dense_w"].T + params["t_dense_b"]
+        if r_id is r_v and r_v is r_t:
+            # all three towers share one operator: a single 3d-wide
+            # propagation is exactly the per-tower results (columnwise
+            # independence) — one operator read instead of three
+            au, ai = self._tower(
+                jnp.concatenate([xu, xu, xu], 1),
+                jnp.concatenate([params["item_embeddings"], v_emb, t_emb],
+                                1), r_id)
+            return tuple(jnp.split(au, 3, 1)), tuple(jnp.split(ai, 3, 1))
         iu, ii = self._tower(xu, params["item_embeddings"], r_id)
         vu, vi = self._tower(xu, v_emb, r_v)
         tu, ti = self._tower(xu, t_emb, r_t)
@@ -131,11 +140,21 @@ class MMGCL(RecModel):
         u1_t, i1_t = self._all_towers(params, r_ed, r_ed, r_ed)
         u1, i1 = self._fused(params, [x[bu] for x in u1_t], [x[bi] for x in i1_t])
         u1, i1 = l2norm(u1), l2norm(i1)
-        # view 2: node dropout on a random modality tower
+        # view 2: node dropout on a random modality tower. Only the
+        # dropped tower differs from the clean pass: batch the v/t
+        # node-dropout towers through one 2d-wide propagation and reuse
+        # the clean towers for the rest (was 6 towers, now 2).
         r_nd = self._dropped_r(k_nd, 1)
         pick_image = jax.random.bernoulli(k_mod, self.p_vat)
-        uv_t, iv_t = self._all_towers(params, None, r_nd, None)
-        ut_t, it_t = self._all_towers(params, None, None, r_nd)
+        xu = params["user_embeddings"]
+        v_emb = self.v_feat @ params["v_dense_w"].T + params["v_dense_b"]
+        t_emb = self.t_feat @ params["t_dense_w"].T + params["t_dense_b"]
+        au, ai = self._tower(jnp.concatenate([xu, xu], 1),
+                             jnp.concatenate([v_emb, t_emb], 1), r_nd)
+        vu_nd, tu_nd = jnp.split(au, 2, 1)
+        vi_nd, ti_nd = jnp.split(ai, 2, 1)
+        uv_t, iv_t = (tw_u[0], vu_nd, tw_u[2]), (tw_i[0], vi_nd, tw_i[2])
+        ut_t, it_t = (tw_u[0], tw_u[1], tu_nd), (tw_i[0], tw_i[1], ti_nd)
         u2_t = jax.tree.map(lambda a, b: jnp.where(pick_image, a, b), uv_t, ut_t)
         i2_t = jax.tree.map(lambda a, b: jnp.where(pick_image, a, b), iv_t, it_t)
         u2, i2 = self._fused(params, [x[bu] for x in u2_t], [x[bi] for x in i2_t])
