@@ -90,34 +90,46 @@ class POWERec(RecModel):
         )
         self.masked_r = r
 
-    def _tower(self, params, prompt_key, mlp_key, item_in, r):
-        prompt = jnp.sum(params[prompt_key], axis=0)
-        xu = params["user_embeddings"] + prompt[None, :]
-        xi = jnp.tanh(item_in @ params[f"{mlp_key}_w"].T + params[f"{mlp_key}_b"])
-        ego_u, ego_i = xu, xi
-        acc_u, acc_i = xu, xi
-        cu, ci = xu, xi
+    def forward(self, params: Params, r):
+        """All three prompt towers through ONE 3d-wide propagation pair
+        per layer: the shared R matmul is columnwise-independent and the
+        self-feature cosine gate is applied per tower slice — exactly the
+        per-tower results, with one (U, I) operator read per direction
+        instead of three."""
+        r = r.astype(jnp.float32)
+        d = params["user_embeddings"].shape[1]
+        xus, xis = [], []
+        for prompt_key, mlp_key, item_in in (
+            ("id_prompt", "id_mlp", params["item_embeddings"]),
+            ("v_prompt", "v_mlp", self.v_feat),
+            ("t_prompt", "t_mlp", self.t_feat),
+        ):
+            prompt = jnp.sum(params[prompt_key], axis=0)
+            xus.append(params["user_embeddings"] + prompt[None, :])
+            xis.append(jnp.tanh(
+                item_in @ params[f"{mlp_key}_w"].T + params[f"{mlp_key}_b"]))
+        ego_u = jnp.concatenate(xus, 1)
+        ego_i = jnp.concatenate(xis, 1)
+
+        def gate(x, ego):
+            cols = []
+            for j in range(3):
+                s = slice(j * d, (j + 1) * d)
+                cols.append(cosine_rows(x[:, s], ego[:, s])[:, None] * x[:, s])
+            return jnp.concatenate(cols, 1)
+
+        acc_u, acc_i = ego_u, ego_i
+        cu, ci = ego_u, ego_i
         for _ in range(self.tower_layers):
             cu, ci = (
                 jnp.dot(r, ci, preferred_element_type=jnp.float32),
                 jnp.dot(r.T, cu, preferred_element_type=jnp.float32),
             )
-            cu = cosine_rows(cu, ego_u)[:, None] * cu
-            ci = cosine_rows(ci, ego_i)[:, None] * ci
+            cu = gate(cu, ego_u)
+            ci = gate(ci, ego_i)
             acc_u = acc_u + cu
             acc_i = acc_i + ci
         return acc_u, acc_i
-
-    def forward(self, params: Params, r):
-        r = r.astype(jnp.float32)
-        id_u, id_i = self._tower(params, "id_prompt", "id_mlp",
-                                 params["item_embeddings"], r)
-        v_u, v_i = self._tower(params, "v_prompt", "v_mlp", self.v_feat, r)
-        t_u, t_i = self._tower(params, "t_prompt", "t_mlp", self.t_feat, r)
-        return (
-            jnp.concatenate([id_u, v_u, t_u], 1),
-            jnp.concatenate([id_i, v_i, t_i], 1),
-        )
 
     def loss(self, params: Params, batch: Batch, rng: jax.Array) -> jnp.ndarray:
         fu, fi = self.forward(params, self.masked_r)
