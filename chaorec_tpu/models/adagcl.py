@@ -28,6 +28,7 @@ import optax
 
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
+from chaorec_tpu.ops.ell import build_segment_transpose, seg_gather, seg_sum
 from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
 from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg, l2norm, masked_mean
 
@@ -53,6 +54,13 @@ class AdaGCL(RecModel):
         self.dst = jnp.concatenate([g.i_by_u + num_user, g.u_by_u])
         self.w_norm = jnp.concatenate([g.w_by_u, g.w_by_u]).astype(jnp.float32)
         self.n_nodes = num_user + num_item
+        # static sorted layouts: every per-view propagation (weights vary,
+        # pattern fixed) runs scatter-free in BOTH directions (seg_sum /
+        # seg_gather) instead of XLA scatter-add segment_sum
+        self.perm_dst, self.ptr_dst = build_segment_transpose(
+            self.dst, self.n_nodes)
+        self.perm_src, self.ptr_src = build_segment_transpose(
+            self.src, self.n_nodes)
         # frozen initial-embedding copy used by the DenoisingNet (quirk)
         k_u, k_i = jax.random.split(init_rng)
         self.frozen_feats = jnp.concatenate(
@@ -84,8 +92,9 @@ class AdaGCL(RecModel):
 
     # ------------- propagation helpers -------------
     def _prop(self, x, w):
-        return jax.ops.segment_sum(w[:, None] * x[self.src], self.dst,
-                                   num_segments=self.n_nodes)
+        msgs = w[:, None] * seg_gather(x, self.src, self.perm_src,
+                                       self.ptr_src)
+        return seg_sum(msgs, self.dst, self.perm_dst, self.ptr_dst)
 
     def forward_graphcl(self, params, w_edges=None):
         x = jnp.concatenate([params["uEmbeds"], params["iEmbeds"]], 0)
@@ -141,10 +150,14 @@ class AdaGCL(RecModel):
 
     # ------------- generator 2 (DenoisingNet) -------------
     def _g2_gate(self, params, x, layer, rng=None, beta=1.0):
-        f1 = jax.nn.relu(x[self.src] @ params[f"g2_nb{layer}_w"].T
-                         + params[f"g2_nb{layer}_b"])
-        f2 = jax.nn.relu(x[self.dst] @ params[f"g2_self{layer}_w"].T
-                         + params[f"g2_self{layer}_b"])
+        # seg_gather: the cotangent wrt x is a scatter-free seg_sum
+        # (g2_loss differentiates through the layer-1 gate input)
+        f1 = jax.nn.relu(
+            seg_gather(x, self.src, self.perm_src, self.ptr_src)
+            @ params[f"g2_nb{layer}_w"].T + params[f"g2_nb{layer}_b"])
+        f2 = jax.nn.relu(
+            seg_gather(x, self.dst, self.perm_dst, self.ptr_dst)
+            @ params[f"g2_self{layer}_w"].T + params[f"g2_self{layer}_b"])
         log_alpha = (jnp.concatenate([f1, f2], 1) @ params[f"g2_att{layer}_w"].T
                      + params[f"g2_att{layer}_b"])[:, 0]
         if rng is not None:
@@ -159,7 +172,12 @@ class AdaGCL(RecModel):
         return mask, log_alpha
 
     def _g2_renorm(self, mask):
-        d = jax.ops.segment_sum(mask, self.dst, num_segments=self.n_nodes) + 1e-6
+        # maximum(., 0): the true degree is >= 0 (mask is clipped to
+        # [0, 1]) but seg_sum's parallel-scan cumsum is not monotone in
+        # fp32 — an empty segment can come out ~-3e-6, and a negative
+        # base makes d ** -0.5 NaN
+        d = jnp.maximum(
+            seg_sum(mask, self.dst, self.perm_dst, self.ptr_dst), 0.0) + 1e-6
         dis = jnp.clip(d ** -0.5, 0.0, 10.0)
         return mask * dis[self.src] * dis[self.dst]
 

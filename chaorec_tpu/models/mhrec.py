@@ -195,7 +195,11 @@ class MHRec(RecModel):
         ej = jnp.broadcast_to(edge_emb[:, None, :], xi.shape)
         e = (jnp.concatenate([xi, ej], axis=-1) @ a)[..., 0]  # (He, k)
         e_exp = jnp.exp(e)
-        sums = seg_sum(e_exp.reshape(-1), flat, perm, ptr)  # (N+1,)
+        # maximum(., 0): true sums of exponentials are >= 0 but seg_sum's
+        # parallel-scan cumsum is not monotone in fp32 — a near-empty
+        # segment can come out ~-3e-6 and flip alpha's sign
+        sums = jnp.maximum(
+            seg_sum(e_exp.reshape(-1), flat, perm, ptr), 0.0)  # (N+1,)
         denom = seg_gather(sums[:, None], flat, perm, ptr).reshape(he, k)
         alpha = e_exp / (denom + 1e-16)
         msg = (alpha[..., None] * ej).reshape(-1, x.shape[1])

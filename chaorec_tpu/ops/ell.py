@@ -363,6 +363,13 @@ def seg_sum(values: jnp.ndarray, flat_idx: jnp.ndarray, perm: jnp.ndarray,
     rows. Forward: permute-gather + prefix-sum + pointer-gather diff.
     Backward: ``d values[j] = g[flat_idx[j]]`` — a pure gather, so the
     step program's gradient never lowers to an XLA scatter.
+
+    CAVEAT: XLA lowers the prefix-sum as a parallel scan, which is NOT
+    monotone in fp32 even for non-negative values — an empty segment can
+    come out ~±3e-6 instead of exactly 0. Callers that feed the result
+    into ``rsqrt``/``** -0.5``/division must ``jnp.maximum(out, 0.0)``
+    first when the true sum is known non-negative (see
+    AdaGCL._g2_renorm, MHRec hyperedge attention).
     """
     return _seg_sum_primal(values, flat_idx, perm, ptr)
 
