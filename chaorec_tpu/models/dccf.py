@@ -55,6 +55,14 @@ class DCCF(RecModel):
         self.ssl_alpha = ssl_alpha
         self.n_intents = n_intents
         self.cen_reg = cen_reg
+        from chaorec_tpu.ops.ell import build_segment_transpose
+
+        # sorted layouts for scatter-free adaptive-view reduction (both
+        # the u-reduction and the gather VJPs)
+        self._perm_u, self._ptr_u = build_segment_transpose(
+            graph.u_by_u, num_user)
+        self._perm_i, self._ptr_i = build_segment_transpose(
+            graph.i_by_u, num_item)
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 4)
@@ -67,15 +75,15 @@ class DCCF(RecModel):
 
     def _adaptive_user_view(self, head_emb_u, tail_emb_i, prev_i):
         """User rows of SparseA @ prev: alpha-weighted item gather."""
+        from chaorec_tpu.ops.ell import seg_gather, seg_sum
+
         g = self.graph
-        h = _norm(head_emb_u)[g.u_by_u]
-        t = _norm(tail_emb_i)[g.i_by_u]
+        h = seg_gather(_norm(head_emb_u), g.u_by_u, self._perm_u, self._ptr_u)
+        t = seg_gather(_norm(tail_emb_i), g.i_by_u, self._perm_i, self._ptr_i)
         alpha = (jnp.sum(h * t, axis=1) + 1.0) / 2.0
-        out_u = jax.ops.segment_sum(
-            alpha[:, None] * prev_i[g.i_by_u], g.u_by_u,
-            num_segments=self.num_user, indices_are_sorted=True,
-        )
-        return out_u
+        msgs = alpha[:, None] * seg_gather(prev_i, g.i_by_u,
+                                           self._perm_i, self._ptr_i)
+        return seg_sum(msgs, g.u_by_u, self._perm_u, self._ptr_u)
 
     def forward(self, params: Params):
         eu, ei = params["user_embedding"], params["item_embedding"]

@@ -51,6 +51,14 @@ class DGCF(RecModel):
         # per-edge score to both directions (DGCFConv duplicates S).
         self.edge_u = jnp.asarray(edges[:, 0], jnp.int32)
         self.edge_i = jnp.asarray(edges[:, 1], jnp.int32)
+        from chaorec_tpu.ops.ell import build_segment_transpose
+
+        # sorted layouts: factor propagation (n_factors x n_iterations x
+        # n_layers segment reductions per step) runs scatter-free
+        self._perm_u, self._ptr_u = build_segment_transpose(
+            self.edge_u, num_user)
+        self._perm_i, self._ptr_i = build_segment_transpose(
+            self.edge_i, num_item)
         du = np.bincount(edges[:, 0], minlength=num_user).astype(np.float32)
         di = np.bincount(edges[:, 1], minlength=num_item).astype(np.float32)
         dd = 1.0 / np.sqrt(np.maximum(du[edges[:, 0]] * di[edges[:, 1]], 1.0))
@@ -67,13 +75,17 @@ class DGCF(RecModel):
         return jnp.ones((self.n_factors, self.edge_u.shape[0]), jnp.float32)
 
     def _propagate_factor(self, xu, xi, s):
+        from chaorec_tpu.ops.ell import seg_gather, seg_sum
+
         w = self.edge_w * s
-        new_u = jax.ops.segment_sum(
-            w[:, None] * xi[self.edge_i], self.edge_u, num_segments=self.num_user
-        )
-        new_i = jax.ops.segment_sum(
-            w[:, None] * xu[self.edge_u], self.edge_i, num_segments=self.num_item
-        )
+        new_u = seg_sum(
+            w[:, None] * seg_gather(xi, self.edge_i, self._perm_i,
+                                    self._ptr_i),
+            self.edge_u, self._perm_u, self._ptr_u)
+        new_i = seg_sum(
+            w[:, None] * seg_gather(xu, self.edge_u, self._perm_u,
+                                    self._ptr_u),
+            self.edge_i, self._perm_i, self._ptr_i)
         return new_u, new_i
 
     def forward(self, params: Params, s_state):
