@@ -20,20 +20,6 @@ timeout 3000 python scripts/run_speed_single.py --Model CF_Diff \
     --log_dir /tmp > parity_logs/CF_Diff_beauty.speed.stdout 2>&1
 echo "=== V cf_diff speed exit $? $(date +%H:%M:%S)"
 
-# Step 0b: re-time the models whose propagation was restructured this
-# round (batched towers / bf16 cl); honest epoch_time_s totals.
-speed() {
-  local model="$1" data="$2" tmo="$3"
-  echo "=== S $model/$data start $(date +%H:%M:%S)"
-  timeout "$tmo" python scripts/run_speed_single.py --Model "$model" \
-      --data_path "$data" --num_epoch 8 --data_root "$DATA" \
-      --log_dir /tmp > "parity_logs/${model}_${data}.speed.stdout" 2>&1
-  echo "=== S $model/$data exit $? $(date +%H:%M:%S)"
-}
-speed SMORE sports 2400
-speed DRAGON sports 2400
-speed MICRO microlens 3000
-
 combo() {
   local model="$1" data="$2" tmo="$3" json="$4"
   echo "=== C $model/$data start $(date +%H:%M:%S)"
@@ -64,6 +50,20 @@ combo HCCF netfilx 10800 '{"n_layers": 3, "learning_rate": 0.001, "reg_weight": 
 combo LightGODE clothing 7200 '{"gamma": 0.2, "learning_rate": 0.001, "t": 5.0}'
 combo BSPM clothing 7200 '{"K_s": 4, "T_s": 2, "K_b": 1, "T_b": 1, "idl_beta": 1.0}'
 combo FKAN_GCF clothing 10800 '{"n_layers": 3, "learning_rate": 0.001, "reg_weight": 1, "node_dropout": 0.2, "message_dropout": 0, "grid_size": 2}'
+
+# Step 0b: re-time the models whose propagation was restructured this
+# round (batched towers / bf16 cl); honest epoch_time_s totals.
+speed() {
+  local model="$1" data="$2" tmo="$3"
+  echo "=== S $model/$data start $(date +%H:%M:%S)"
+  timeout "$tmo" python scripts/run_speed_single.py --Model "$model" \
+      --data_path "$data" --num_epoch 8 --data_root "$DATA" \
+      --log_dir /tmp > "parity_logs/${model}_${data}.speed.stdout" 2>&1
+  echo "=== S $model/$data exit $? $(date +%H:%M:%S)"
+}
+speed SMORE sports 2400
+speed DRAGON sports 2400
+speed MICRO microlens 3000
 
 # CF_Diff/beauty LAST (tail absorber): ref log truncated (no Best
 # block); full early-stopped run at the first yaml combo for the
