@@ -172,12 +172,15 @@ class AdaGCL(RecModel):
         return mask, log_alpha
 
     def _g2_renorm(self, mask):
-        # maximum(., 0): the true degree is >= 0 (mask is clipped to
-        # [0, 1]) but seg_sum's parallel-scan cumsum is not monotone in
-        # fp32 — an empty segment can come out ~-3e-6, and a negative
-        # base makes d ** -0.5 NaN
-        d = jnp.maximum(
-            seg_sum(mask, self.dst, self.perm_dst, self.ptr_dst), 0.0) + 1e-6
+        # Scalar NON-NEGATIVE degree sums stay on segment_sum: the
+        # prefix-sum trick's absolute error scales with the GLOBAL
+        # running total (~ulp(sum of all masks) per segment — ~0.1 at
+        # netfilx scale), which is unacceptable inside d ** -0.5. A
+        # scalar scatter-add of E values is cheap; only the (E, D)
+        # message reductions (zero-mean values, random-walk totals) ride
+        # the scatter-free path.
+        d = jax.ops.segment_sum(mask, self.dst,
+                                num_segments=self.n_nodes) + 1e-6
         dis = jnp.clip(d ** -0.5, 0.0, 10.0)
         return mask * dis[self.src] * dis[self.dst]
 

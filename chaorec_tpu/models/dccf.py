@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
+from chaorec_tpu.ops.ell import build_segment_transpose, seg_gather, seg_sum
 from chaorec_tpu.ops.init import xavier_normal
 from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg
 
@@ -55,8 +56,6 @@ class DCCF(RecModel):
         self.ssl_alpha = ssl_alpha
         self.n_intents = n_intents
         self.cen_reg = cen_reg
-        from chaorec_tpu.ops.ell import build_segment_transpose
-
         # sorted layouts for scatter-free adaptive-view reduction (both
         # the u-reduction and the gather VJPs)
         self._perm_u, self._ptr_u = build_segment_transpose(
@@ -75,8 +74,6 @@ class DCCF(RecModel):
 
     def _adaptive_user_view(self, head_emb_u, tail_emb_i, prev_i):
         """User rows of SparseA @ prev: alpha-weighted item gather."""
-        from chaorec_tpu.ops.ell import seg_gather, seg_sum
-
         g = self.graph
         h = seg_gather(_norm(head_emb_u), g.u_by_u, self._perm_u, self._ptr_u)
         t = seg_gather(_norm(tail_emb_i), g.i_by_u, self._perm_i, self._ptr_i)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from chaorec_tpu.models.base import Batch, Params, RecModel
+from chaorec_tpu.ops.ell import build_segment_transpose, seg_gather, seg_sum
 from chaorec_tpu.ops.distcorr import distance_correlation
 from chaorec_tpu.ops.init import xavier_uniform
 from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg
@@ -51,8 +52,6 @@ class DGCF(RecModel):
         # per-edge score to both directions (DGCFConv duplicates S).
         self.edge_u = jnp.asarray(edges[:, 0], jnp.int32)
         self.edge_i = jnp.asarray(edges[:, 1], jnp.int32)
-        from chaorec_tpu.ops.ell import build_segment_transpose
-
         # sorted layouts: factor propagation (n_factors x n_iterations x
         # n_layers segment reductions per step) runs scatter-free
         self._perm_u, self._ptr_u = build_segment_transpose(
@@ -75,8 +74,6 @@ class DGCF(RecModel):
         return jnp.ones((self.n_factors, self.edge_u.shape[0]), jnp.float32)
 
     def _propagate_factor(self, xu, xi, s):
-        from chaorec_tpu.ops.ell import seg_gather, seg_sum
-
         w = self.edge_w * s
         new_u = seg_sum(
             w[:, None] * seg_gather(xi, self.edge_i, self._perm_i,

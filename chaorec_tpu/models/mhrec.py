@@ -195,11 +195,14 @@ class MHRec(RecModel):
         ej = jnp.broadcast_to(edge_emb[:, None, :], xi.shape)
         e = (jnp.concatenate([xi, ej], axis=-1) @ a)[..., 0]  # (He, k)
         e_exp = jnp.exp(e)
-        # maximum(., 0): true sums of exponentials are >= 0 but seg_sum's
-        # parallel-scan cumsum is not monotone in fp32 — a near-empty
-        # segment can come out ~-3e-6 and flip alpha's sign
-        sums = jnp.maximum(
-            seg_sum(e_exp.reshape(-1), flat, perm, ptr), 0.0)  # (N+1,)
+        # Scalar NON-NEGATIVE softmax denominators stay on segment_sum:
+        # the prefix-sum trick's error scales with the global total of
+        # all exponentials (see ops/ell.py seg_sum CAVEAT), which would
+        # perturb attention weights; a scalar scatter-add is cheap next
+        # to the (M, D) message reduction below, which keeps the
+        # scatter-free path (zero-mean messages, random-walk totals).
+        sums = jax.ops.segment_sum(
+            e_exp.reshape(-1), flat, num_segments=int(ptr.shape[0]) - 1)
         denom = seg_gather(sums[:, None], flat, perm, ptr).reshape(he, k)
         alpha = e_exp / (denom + 1e-16)
         msg = (alpha[..., None] * ej).reshape(-1, x.shape[1])

@@ -114,7 +114,11 @@ class MMGCL(RecModel):
         if r_id is r_v and r_v is r_t:
             # all three towers share one operator: a single 3d-wide
             # propagation is exactly the per-tower results (columnwise
-            # independence) — one operator read instead of three
+            # independence) — one operator read instead of three.
+            # NOTE: detected by OBJECT IDENTITY — callers wanting the
+            # batched path must pass the same array object for all three
+            # (loss/embeddings pass all-None or r_ed, r_ed, r_ed);
+            # equal-valued copies silently fall back to 3 propagations
             au, ai = self._tower(
                 jnp.concatenate([xu, xu, xu], 1),
                 jnp.concatenate([params["item_embeddings"], v_emb, t_emb],

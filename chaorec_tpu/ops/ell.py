@@ -364,12 +364,18 @@ def seg_sum(values: jnp.ndarray, flat_idx: jnp.ndarray, perm: jnp.ndarray,
     Backward: ``d values[j] = g[flat_idx[j]]`` — a pure gather, so the
     step program's gradient never lowers to an XLA scatter.
 
-    CAVEAT: XLA lowers the prefix-sum as a parallel scan, which is NOT
-    monotone in fp32 even for non-negative values — an empty segment can
-    come out ~±3e-6 instead of exactly 0. Callers that feed the result
-    into ``rsqrt``/``** -0.5``/division must ``jnp.maximum(out, 0.0)``
-    first when the true sum is known non-negative (see
-    AdaGCL._g2_renorm, MHRec hyperedge attention).
+    CAVEAT (precision model): a segment's sum is the difference of two
+    global fp32 prefix values, so its ABSOLUTE error scales with the
+    global running total at that point — roughly ulp(total) x O(log M),
+    NOT with the segment's own magnitude — and the parallel scan is not
+    even monotone for non-negative inputs (an empty segment can come
+    out slightly negative). For zero-mean message tensors the running
+    total is a random walk (~sqrt(M)·sigma) and the error is benign;
+    for NON-NEGATIVE values (degrees, exp-sums) the total grows
+    linearly and downstream ``rsqrt``/division can see errors of ~0.1
+    at 1e5-edge scale. Keep such scalar reductions on
+    ``jax.ops.segment_sum`` (scatter of scalars is cheap) — see
+    AdaGCL._g2_renorm and MHRec's attention denominator.
     """
     return _seg_sum_primal(values, flat_idx, perm, ptr)
 

@@ -62,13 +62,15 @@ def _dot_tn(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, lk, scale,
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale,
                 keep_prob, n_qb):
+    # NOTE: no key-side mask is needed — the K/V block covers the full
+    # logical Lk (only the q axis is padded, and padded q ROWS are
+    # sliced off by the wrapper; their dK/dV contributions vanish
+    # because the padded cotangent rows are zero).
     g = pl.program_id(0)
     qb = pl.program_id(1)
     s = _dot_nt(q_ref[0], k_ref[0]) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < lk, s, -1e30)
     a = _softmax_rows(s)
     if keep_prob < 1.0:
         pltpu.prng_seed(seed_ref[0] + g * n_qb + qb)
@@ -78,7 +80,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, lk, scale,
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, *, lk, scale, keep_prob, n_qb):
+                dq_ref, dk_ref, dv_ref, *, scale, keep_prob, n_qb):
     g = pl.program_id(0)
     qb = pl.program_id(1)
 
@@ -88,8 +90,6 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
         dv_ref[0] = jnp.zeros(dv_ref.shape[1:], dv_ref.dtype)
 
     s = _dot_nt(q_ref[0], k_ref[0]) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < lk, s, -1e30)
     a = _softmax_rows(s)
     if keep_prob < 1.0:
         pltpu.prng_seed(seed_ref[0] + g * n_qb + qb)
@@ -126,7 +126,7 @@ def _mha_fwd_raw(q, k, v, seed, keep_prob, interpret=False):
     kf = k.reshape(g, lk, dh)
     vf = v.reshape(g, lk, dh)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, lk=lk, scale=1.0 / math.sqrt(dh),
+        functools.partial(_fwd_kernel, scale=1.0 / math.sqrt(dh),
                           keep_prob=keep_prob, n_qb=n_qb),
         grid=(g, n_qb),
         in_specs=[
@@ -159,7 +159,7 @@ def _mha_bwd_raw(q, k, v, seed, gout, keep_prob, interpret=False):
     kf = k.reshape(g, lk, dh)
     vf = v.reshape(g, lk, dh)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, lk=lk, scale=1.0 / math.sqrt(dh),
+        functools.partial(_bwd_kernel, scale=1.0 / math.sqrt(dh),
                           keep_prob=keep_prob, n_qb=n_qb),
         grid=(g, n_qb),
         in_specs=[
@@ -218,7 +218,15 @@ fused_mha.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def use_fused_attn() -> bool:
-    """Kernel on real TPU; plain-XLA path elsewhere (CPU tests)."""
+    """Kernel on real TPU; plain-XLA path elsewhere (CPU tests).
+
+    ``CHAOREC_NO_FUSED_ATTN=1`` forces the XLA path even on TPU — the
+    escape hatch the quality queue uses if on-chip kernel validation
+    (scripts/validate_attn_tpu.py) ever fails."""
+    import os
+
+    if os.environ.get("CHAOREC_NO_FUSED_ATTN"):
+        return False
     return jax.default_backend() == "tpu"
 
 

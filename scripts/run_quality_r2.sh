@@ -10,11 +10,17 @@ mkdir -p parity_logs
 DATA=/root/reference/Data
 
 # Step 0: validate + time the fused attention kernel on the chip, then
-# re-time CF_Diff's epoch with it (quick: 8 epochs).
+# re-time CF_Diff's epoch with it (quick: 6 epochs). If validation
+# fails, CHAOREC_NO_FUSED_ATTN=1 forces the plain-XLA attention for the
+# CF_Diff runs so a kernel regression cannot poison the quality row.
 echo "=== V fused-attn validation $(date +%H:%M:%S)"
-timeout 1800 python scripts/validate_attn_tpu.py \
-    > parity_logs/attn_validation.txt 2>&1
-echo "=== V exit $? $(date +%H:%M:%S)"
+if timeout 1800 python scripts/validate_attn_tpu.py \
+    > parity_logs/attn_validation.txt 2>&1; then
+  echo "=== V ok $(date +%H:%M:%S)"
+else
+  echo "=== V FAILED rc=$? - forcing XLA attention for all further runs"
+  export CHAOREC_NO_FUSED_ATTN=1
+fi
 timeout 3000 python scripts/run_speed_single.py --Model CF_Diff \
     --data_path beauty --num_epoch 6 --data_root "$DATA" \
     --log_dir /tmp > parity_logs/CF_Diff_beauty.speed.stdout 2>&1
