@@ -67,6 +67,15 @@ class Grade(RecModel):
         self.src = jnp.concatenate([g.u_by_u, g.i_by_u + num_user])
         self.dst = jnp.concatenate([g.i_by_u + num_user, g.u_by_u])
         self.w_norm = jnp.concatenate([g.w_by_u, g.w_by_u]).astype(jnp.float32)
+        from chaorec_tpu.ops.ell import build_segment_transpose
+
+        # sorted layouts: per-view propagation (weights vary, pattern
+        # fixed) runs scatter-free in both directions — see AdaGCL
+        n_nodes = num_user + num_item
+        self.perm_dst, self.ptr_dst = build_segment_transpose(
+            self.dst, n_nodes)
+        self.perm_src, self.ptr_src = build_segment_transpose(
+            self.src, n_nodes)
         self.n_nodes = num_user + num_item
 
     def init_params(self, rng: jax.Array) -> Params:
@@ -91,9 +100,12 @@ class Grade(RecModel):
 
     # ------------ propagation helpers ------------
     def _prop(self, x, w=None):
+        from chaorec_tpu.ops.ell import seg_gather, seg_sum
+
         w = self.w_norm if w is None else w
-        return jax.ops.segment_sum(w[:, None] * x[self.src], self.dst,
-                                   num_segments=self.n_nodes)
+        msgs = w[:, None] * seg_gather(x, self.src, self.perm_src,
+                                       self.ptr_src)
+        return seg_sum(msgs, self.dst, self.perm_dst, self.ptr_dst)
 
     def _stack(self, x0, w=None, noise=None):
         acc = x0
