@@ -259,3 +259,41 @@ def test_mhrec_hyper_attn_scatter_free_matches_reference(rng):
     for g, r in ((ga, ra), (gx, rx)):
         scale = float(jnp.abs(r).max())
         np.testing.assert_allclose(g, r, rtol=1e-3, atol=2e-5 * scale)
+
+
+def test_seg_prop_matches_segment_sum_and_grad():
+    """The seg_gather/seg_sum propagation used by AdaGCL/GRADE/DCCF/DGCF
+    must match jax.ops.segment_sum in value AND gradient (the r2 NaN
+    incident came from feeding its output into rsqrt — that usage is now
+    banned, but the message-propagation equivalence itself is pinned
+    here)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chaorec_tpu.ops.ell import build_segment_transpose, seg_gather, seg_sum
+
+    rs = np.random.default_rng(3)
+    n, e, d = 37, 250, 12
+    src = jnp.asarray(rs.integers(0, n, e))
+    dst = jnp.asarray(rs.integers(0, n, e))
+    w = jnp.asarray(rs.standard_normal(e), jnp.float32)
+    x = jnp.asarray(rs.standard_normal((n, d)), jnp.float32)
+    ps, rps = build_segment_transpose(src, n)
+    pd, rpd = build_segment_transpose(dst, n)
+
+    def new(x_, w_):
+        return seg_sum(w_[:, None] * seg_gather(x_, src, ps, rps),
+                       dst, pd, rpd)
+
+    def old(x_, w_):
+        return jax.ops.segment_sum(w_[:, None] * x_[src], dst,
+                                   num_segments=n)
+
+    np.testing.assert_allclose(np.asarray(new(x, w)), np.asarray(old(x, w)),
+                               rtol=2e-5, atol=2e-5)
+    gn = jax.grad(lambda x_, w_: jnp.sum(new(x_, w_) ** 2), argnums=(0, 1))(x, w)
+    go = jax.grad(lambda x_, w_: jnp.sum(old(x_, w_) ** 2), argnums=(0, 1))(x, w)
+    for a, b in zip(gn, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5)
