@@ -48,6 +48,13 @@ class MGAT(RecModel):
         deg = jnp.zeros((n,), jnp.float32).at[src].add(1.0)
         self.deg_inv_sqrt_src = (jnp.maximum(deg, 1.0) ** -0.5)[src]
         self.n_nodes = n
+        from chaorec_tpu.ops.ell import build_segment_transpose
+
+        # sorted layouts: GAT gathers and the message reduce run
+        # scatter-free; the scalar softmax denominators stay on
+        # segment_max/segment_sum (non-negative — see ops/ell.py CAVEAT)
+        self._perm_src, self._ptr_src = build_segment_transpose(src, n)
+        self._perm_dst, self._ptr_dst = build_segment_transpose(dst, n)
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 2)
@@ -81,13 +88,17 @@ class MGAT(RecModel):
         return p
 
     def _gat(self, params, mod, i, x):
+        from chaorec_tpu.ops.ell import seg_gather, seg_sum
+
         xw = x @ params[f"{mod}_conv{i}_w"]  # weight applied as x @ W
         src, dst = self.src, self.dst
-        inner = jnp.sum(xw[dst] * jax.nn.leaky_relu(xw[src], 0.01), axis=1)
+        xw_src = seg_gather(xw, src, self._perm_src, self._ptr_src)
+        xw_dst = seg_gather(xw, dst, self._perm_dst, self._ptr_dst)
+        inner = jnp.sum(xw_dst * jax.nn.leaky_relu(xw_src, 0.01), axis=1)
         gate = jax.nn.sigmoid(self.deg_inv_sqrt_src * inner)
         att = segment_softmax(inner * gate, dst, self.n_nodes)
-        out = jax.ops.segment_sum(att[:, None] * xw[src], dst,
-                                  num_segments=self.n_nodes)
+        out = seg_sum(att[:, None] * xw_src, dst,
+                      self._perm_dst, self._ptr_dst)
         out = out + params[f"{mod}_conv{i}_b"]
         return l2norm(out)
 
