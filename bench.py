@@ -20,9 +20,31 @@ pinned identical to the unpipelined loop in tests/test_checkpoint.py.
 from __future__ import annotations
 
 import json
+import os
 import statistics
+import sys
 import time
 from pathlib import Path
+
+
+def wait_for_backend(max_wait_s: float | None = None, poll_s: float = 30.0) -> str:
+    """Bounded wait for a usable accelerator backend (VERDICT r2 item 1).
+
+    The round-2 bench artifact was an unparseable traceback because the
+    axon TPU tunnel died minutes before the driver ran this script.
+    Delegates to :mod:`chaorec_tpu.elastic` — a subprocess probe with a
+    hard timeout (a wedged tunnel hangs ``jax.devices()`` indefinitely),
+    retried up to ``max_wait_s`` (env ``CHAOREC_BENCH_WAIT_S``, default
+    1800 s). If no accelerator comes up, pins ``JAX_PLATFORMS=cpu`` so
+    the bench still emits parseable JSON lines (each carries a
+    ``platform`` field, so a fallback artifact is self-describing).
+    """
+    from chaorec_tpu.elastic import wait_for_backend as _wait
+
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("CHAOREC_BENCH_WAIT_S", "1800"))
+    return _wait(max_wait_s, poll_s=poll_s,
+                 log=lambda m: print(m, file=sys.stderr, flush=True))
 
 
 def find_data_root() -> str:
@@ -75,6 +97,8 @@ def _eval_users_per_s(trainer, params, num_user, n=3):
 
 
 def main() -> None:
+    platform = wait_for_backend()
+
     from chaorec_tpu.config import Config
     from chaorec_tpu.data.loading import data_load
     from chaorec_tpu.models import build_model
@@ -130,6 +154,7 @@ def main() -> None:
     })
 
     for line in lines:
+        line["platform"] = platform
         print(json.dumps(line))
 
 

@@ -27,10 +27,16 @@ timeout 3000 python scripts/run_speed_single.py --Model CF_Diff \
 echo "=== V cf_diff speed exit $? $(date +%H:%M:%S)"
 
 combo() {
+  # supervised + checkpointed (chaorec_tpu/elastic.py): a tunnel flap
+  # mid-run relaunches the combo and it resumes from the last orbax
+  # checkpoint with early-stop state intact, instead of losing hours
   local model="$1" data="$2" tmo="$3" json="$4"
   echo "=== C $model/$data start $(date +%H:%M:%S)"
-  timeout "$tmo" python scripts/run_combo.py --Model "$model" \
+  timeout "$tmo" python -m chaorec_tpu.elastic --retries 4 \
+      --backend-wait 1800 -- \
+      python scripts/run_combo.py --Model "$model" \
       --data_path "$data" --data_root "$DATA" --log_dir parity_logs \
+      --checkpoint_dir "/tmp/ckpt_${model}_${data}" --checkpoint_every 10 \
       --combo "$json" \
       > "parity_logs/${model}_${data}.stdout" 2>&1
   echo "=== C $model/$data exit $? $(date +%H:%M:%S)"
@@ -45,8 +51,9 @@ combo GFormer beauty 10800 '{"n_layers": 1, "pnn_layer": 1, "reg_weight": 0.0001
 combo DiffRec beauty 7200 '{"learning_rate": 0.0005, "noise_scale": 0.001, "noise_min": 0.005, "noise_max": 0.005, "steps": 5, "dims": "[1000]"}'
 
 # AdaGCL/netfilx: ref grid best 0.21549 at this combo
-# (96-combo grid took the reference ~40 GPU-hours; combo-4 partial grid
-# evidence preserved as AdaGCL_netfilx.grid-partial.log).
+# (96-combo grid took the reference ~40 GPU-hours; re-scoped to the
+# ref's best combo only — the r2 combo-4 grid partial was retired,
+# VERDICT r2 item 9).
 combo AdaGCL netfilx 10800 '{"n_layers": 2, "learning_rate": 0.001, "reg_weight": 0.1, "ssl_alpha": 0.2, "ssl_temp": 0.5}'
 
 # HCCF/netfilx: ref best 0.2331 at this combo (21-combo partial log).
@@ -70,6 +77,22 @@ speed() {
 speed SMORE sports 2400
 speed DRAGON sports 2400
 speed MICRO microlens 3000
+# round-3 structural changes (re-time at HEAD): LATTICE dense-bf16 item
+# graph, MHRec bf16 phase-B sampling
+speed LATTICE microlens 3000
+speed MHRec beauty 3600
+# apples-to-apples vs log/MHRec_beauty.log (~4 s), which provably ran
+# phase C only (zero diffusion-phase lines vs
+# train_and_evaluate.py:337-364)
+CHAOREC_MHREC_PHASE_C_ONLY=1 timeout 3000 python scripts/run_speed_single.py \
+    --Model MHRec --data_path beauty --num_epoch 8 --data_root "$DATA" \
+    --log_dir /tmp > parity_logs/MHRec_beauty.phaseC.speed.stdout 2>&1
+echo "=== S MHRec/beauty phase-C-only exit $? $(date +%H:%M:%S)"
+
+# capture the BENCH contract lines early (the driver re-runs bench.py at
+# round end; this file is the in-round evidence if the tunnel flaps again)
+timeout 3600 python bench.py > parity_logs/bench_r3.stdout 2>&1
+echo "=== B bench exit $? $(date +%H:%M:%S)"
 
 # CF_Diff/beauty LAST (tail absorber): ref log truncated (no Best
 # block); full early-stopped run at the first yaml combo for the
