@@ -157,6 +157,10 @@ class Recommender:
             raise ValueError(f"artifact format {fv} newer than supported")
         self.kind = str(data["kind"])
         self.model_name = str(data["model"])
+        # weight provenance: "best-epoch" (early-stop snapshot) or
+        # "final-epoch" (trainer kept no best snapshot); pre-provenance
+        # artifacts report "unknown"
+        self.snapshot = str(data["snapshot"]) if "snapshot" in data else "unknown"
         self.dataset_name = str(data["dataset"])
         self.num_user = int(data["num_user"])
         self.num_item = int(data["num_item"])
@@ -275,6 +279,7 @@ class Recommender:
         return {
             "kind": self.kind,
             "model": self.model_name,
+            "snapshot": self.snapshot,
             "dataset": self.dataset_name,
             "num_user": self.num_user,
             "num_item": self.num_item,

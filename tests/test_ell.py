@@ -297,3 +297,155 @@ def test_seg_prop_matches_segment_sum_and_grad():
     for a, b in zip(gn, go):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-5, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# seg_sum numerics rule (ops/ell.py CAVEAT, VERDICT r2 item 8)
+#
+# A segment's sum under ``seg_sum`` is the difference of two global fp32
+# prefix values, so its ABSOLUTE error scales with the global running
+# total — for NON-NEGATIVE values (degrees, exp-sums) the total grows
+# linearly and a downstream ``rsqrt``/division amplifies the error.
+# These tests (a) pin that error model so the rule stays evidence-backed,
+# and (b) fail if the rsqrt/softmax-denominator call sites that commit
+# ef0dbc9 moved to ``jax.ops.segment_sum`` are ever re-routed.
+# ---------------------------------------------------------------------------
+
+
+def _nonneg_reduction(n_edges=300_000, n_seg=4096, seed=11):
+    rs = np.random.default_rng(seed)
+    idx = jnp.asarray(np.sort(rs.integers(0, n_seg, n_edges)), jnp.int32)
+    vals = jnp.asarray(rs.uniform(0.5, 1.5, n_edges), jnp.float32)
+    exact = np.zeros(n_seg, np.float64)
+    np.add.at(exact, np.asarray(idx), np.asarray(vals, np.float64))
+    return idx, vals, exact, n_seg
+
+
+def test_seg_sum_caveat_error_model_holds():
+    """Non-negative reductions: seg_sum's error is orders of magnitude
+    above segment_sum's at 3e5-edge scale. If this ever FAILS because
+    seg_sum got accurate, the CAVEAT (and the guard below) can be
+    re-evaluated — until then the rule stands on measurement."""
+    from chaorec_tpu.ops.ell import build_segment_transpose, seg_sum
+
+    idx, vals, exact, n_seg = _nonneg_reduction()
+    perm, ptr = build_segment_transpose(idx, n_seg)
+    via_scan = np.asarray(seg_sum(vals, idx, perm, ptr), np.float64)
+    via_scatter = np.asarray(
+        jax.ops.segment_sum(vals, idx, num_segments=n_seg), np.float64)
+
+    err_scan = np.abs(via_scan - exact).max()
+    err_scatter = np.abs(via_scatter - exact).max()
+    # segment_sum accumulates per segment (~75 values) — stays tiny.
+    assert err_scatter < 1e-3, err_scatter
+    # the prefix trick's error rides the ~3e5 global total.
+    assert err_scan > 10 * err_scatter, (err_scan, err_scatter)
+
+
+def test_adagcl_g2_renorm_degree_sums_stay_accurate():
+    """Functional guard on the real AdaGCL._g2_renorm code path at a
+    scale where routing the degree sum through seg_sum visibly breaks
+    d**-0.5 (netfilx-scale edge counts). Self-calibrating: the evil
+    (seg_sum-routed) variant is computed alongside and must violate the
+    tolerance that the production path meets."""
+    from types import SimpleNamespace
+
+    from chaorec_tpu.models.adagcl import AdaGCL
+    from chaorec_tpu.ops.ell import build_segment_transpose, seg_sum
+
+    rs = np.random.default_rng(3)
+    n_nodes, n_edges = 30_000, 300_000
+    src = jnp.asarray(rs.integers(0, n_nodes, n_edges), jnp.int32)
+    dst = jnp.asarray(rs.integers(0, n_nodes, n_edges), jnp.int32)
+    mask = jnp.asarray(rs.uniform(0.3, 1.0, n_edges), jnp.float32)
+    fake = SimpleNamespace(src=src, dst=dst, n_nodes=n_nodes)
+
+    got = np.asarray(AdaGCL._g2_renorm(fake, mask), np.float64)
+
+    d = np.zeros(n_nodes, np.float64)
+    np.add.at(d, np.asarray(dst), np.asarray(mask, np.float64))
+    dis = np.clip((d + 1e-6) ** -0.5, 0.0, 10.0)
+    oracle = np.asarray(mask, np.float64) * dis[np.asarray(src)] * dis[np.asarray(dst)]
+
+    tol = 1e-4  # max |renormalized weight| error allowed through rsqrt
+    assert np.abs(got - oracle).max() < tol
+
+    # Evil re-route: the same site with the degree sum on seg_sum. It
+    # must *fail* the tolerance, proving the guard above discriminates.
+    perm, ptr = build_segment_transpose(dst, n_nodes)
+    d_scan = seg_sum(mask, dst, perm, ptr) + 1e-6
+    dis_scan = jnp.clip(d_scan ** -0.5, 0.0, 10.0)
+    evil = np.asarray(mask * dis_scan[src] * dis_scan[dst], np.float64)
+    assert np.abs(evil - oracle).max() > tol, (
+        "seg_sum became accurate enough here — re-evaluate the CAVEAT")
+
+
+def test_denominator_call_sites_source_guard():
+    """The softmax/exp-sum denominators re-routed in ef0dbc9 must keep
+    using jax.ops.segment_sum (scatter of scalars — cheap and accurate);
+    only zero-mean (M, D) message reductions ride seg_sum."""
+    import inspect
+    import re
+
+    from chaorec_tpu.models.adagcl import AdaGCL
+    from chaorec_tpu.models.mgat import MGAT
+    from chaorec_tpu.models.mhrec import MHRec
+    from chaorec_tpu.ops import edge_softmax
+
+    bare_seg_sum = re.compile(r"(?<!segment_)\bseg_sum\s*\(")
+
+    src = inspect.getsource(AdaGCL._g2_renorm)
+    assert "jax.ops.segment_sum" in src
+    assert not bare_seg_sum.search(src)
+
+    src = inspect.getsource(edge_softmax.segment_softmax)
+    assert "jax.ops.segment_sum" in src
+    assert not bare_seg_sum.search(src)
+
+    # MGAT's attention weights come from segment_softmax (above).
+    assert "segment_softmax" in inspect.getsource(MGAT._gat)
+
+    # MHRec._hyper_attn legitimately uses seg_sum for the (M, D) message
+    # reduction; the scalar e_exp denominator must stay on segment_sum.
+    src = inspect.getsource(MHRec._hyper_attn)
+    m = re.search(r"jax\.ops\.segment_sum\(\s*\n?\s*e_exp", src)
+    assert m, "MHRec softmax denominator no longer on jax.ops.segment_sum"
+
+
+def test_lattice_dense_bf16_item_graph_matches_ell(rng, tiny_dataset):
+    """The GUME dense-bf16 crossover applied to LATTICE's learned (I, I)
+    propagation (VERDICT r2 item 5): the dense-mode model's build +
+    forward equal the exact ELL-fp32 path to bf16 tolerance."""
+    import jax
+
+    from chaorec_tpu.models.lattice import LATTICE
+
+    ds = tiny_dataset
+    g = build_norm_adj(ds.train_edges, ds.num_user, ds.num_item,
+                       use_dense=True)
+    args = (ds.num_user, ds.num_item, g, jnp.asarray(ds.v_feat),
+            jnp.asarray(ds.t_feat), 16, 16, 1e-3, 1, 1, 5, 0.3)
+    m_ell = LATTICE(*args, compute_dtype="float32")
+    m_dense = LATTICE(*args, compute_dtype="bfloat16")
+    assert not m_ell.dense_items and m_dense.dense_items
+
+    params = m_ell.init_params(jax.random.PRNGKey(0))
+    adj_e = m_ell._build_item_adj(params)
+    adj_d = m_dense._build_item_adj(params)
+    assert adj_d.dtype == jnp.bfloat16
+
+    fu_e, fi_e = m_ell._forward(params, adj_e)
+    fu_d, fi_d = m_dense._forward(params, adj_d)
+    np.testing.assert_allclose(np.asarray(fu_d), np.asarray(fu_e),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(fi_d), np.asarray(fi_e),
+                               rtol=2e-2, atol=2e-2)
+
+    # gradients still flow into the projections through the dense build
+    def loss_d(pp):
+        fu, fi = m_dense._forward(pp, m_dense._build_item_adj(pp))
+        return jnp.sum(fu ** 2) + jnp.sum(fi ** 2)
+
+    g_d = jax.grad(loss_d)(params)
+    assert float(jnp.abs(g_d["image_trs_w"]).max()) > 0.0
+    assert float(jnp.abs(g_d["modal_weight"]).max()) > 0.0

@@ -137,3 +137,16 @@ def test_http_endpoint(artifact):
         assert e.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_artifact_snapshot_provenance(trained, artifact, tmp_path):
+    """VERDICT r2 item 10: the exported artifact records WHICH weights it
+    holds (best-epoch early-stop snapshot vs final-epoch), and the
+    Recommender surfaces it via info()."""
+    rec = Recommender.load(artifact)
+    assert rec.info()["snapshot"] == "best-epoch"  # export default
+
+    model, params, mstate, ds = trained
+    path = str(tmp_path / "bpr_final.npz")
+    export_artifact(model, params, mstate, ds, path, snapshot="final-epoch")
+    assert Recommender.load(path).info()["snapshot"] == "final-epoch"
