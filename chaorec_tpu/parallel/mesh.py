@@ -229,6 +229,268 @@ def make_sharded_diffmm_steps(model, mesh: Mesh, lr: float):
     )
 
 
+def _prefix_labels(model, prefix: str):
+    """Label tree: "g" for params whose top-level key starts with
+    ``prefix``, "f" otherwise (the reference's per-generator optimizers
+    act on disjoint param groups)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "g" if str(path[0].key).startswith(prefix) else "f",
+        model.init_params(jax.random.PRNGKey(0)),
+    )
+
+
+def make_sharded_adagcl_step(model, mesh: Mesh, lr: float):
+    """One sharded AdaGCL 3-loss / 3-optimizer alternating step — the
+    adaptive-augmentation family (reference loop
+    train_and_evaluate.py:72-97; optimizer split as in
+    models/adagcl.py AdaGCLTrainer: main Adam, g1 Adam, g2 Adam eps=1e-3
+    on disjoint generator groups). Returns ``(step, opt, opt_g1,
+    opt_g2)`` with ``step(params, o, o1, o2, batch, rng) -> (params, o,
+    o1, o2, loss)``."""
+    from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg
+
+    opt = optax.adam(lr)
+    opt_g1 = optax.multi_transform(
+        {"g": optax.adam(lr), "f": optax.set_to_zero()},
+        _prefix_labels(model, "g1_"))
+    opt_g2 = optax.multi_transform(
+        {"g": optax.adam(lr, eps=1e-3), "f": optax.set_to_zero()},
+        _prefix_labels(model, "g2_"))
+
+    def step(model, params, o, o1, o2, batch, rng):
+        k1, k2 = jax.random.split(rng)
+        w = batch.weights
+
+        def loss1(pp):
+            w1 = model.g1_generate(pp)
+            out1 = model.forward_graphcl(pp, w1)
+            out2 = model.forward_graphcl_g2(pp)
+            l = model.ssl_alpha * model.loss_graphcl(
+                out1, out2, batch.users, batch.pos_items, w)
+            return l, (out1, out2)
+
+        (l1, (out1, out2)), g = jax.value_and_grad(
+            loss1, has_aux=True)(params)
+        upd, o = opt.update(g, o, params)
+        params = optax.apply_updates(params, upd)
+
+        def loss2(pp):
+            w1 = model.g1_generate(pp)
+            v1 = model.forward_graphcl(pp, w1)
+            v2 = model.forward_graphcl_g2(pp)
+            det1 = jax.lax.stop_gradient(out1)
+            det2 = jax.lax.stop_gradient(out2)
+            return model.ib_reg * (
+                model.loss_graphcl(v1, det1, batch.users, batch.pos_items, w)
+                + model.loss_graphcl(v2, det2, batch.users, batch.pos_items,
+                                     w))
+
+        l2, g = jax.value_and_grad(loss2)(params)
+        upd, o = opt.update(g, o, params)
+        params = optax.apply_updates(params, upd)
+
+        def loss3(pp):
+            x = model.forward_graphcl(pp)
+            xu, xi = x[: model.num_user], x[model.num_user:]
+            uu = xu[batch.users]
+            ppos = xi[batch.pos_items]
+            nneg = xi[batch.neg_items]
+            bpr = bpr_loss(jnp.sum(uu * ppos, 1), jnp.sum(uu * nneg, 1),
+                           w, eps=1e-5)
+            reg = emb_l2_reg(
+                model.reg_weight,
+                (pp["uEmbeds"][batch.users], pp["iEmbeds"][batch.pos_items],
+                 pp["iEmbeds"][batch.neg_items]), w)
+            return bpr + reg + model.g1_loss(pp, batch, k1) + model.g2_loss(
+                pp, batch, k2)
+
+        l3, g = jax.value_and_grad(loss3)(params)
+        upd, o = opt.update(g, o, params)
+        params = optax.apply_updates(params, upd)
+        upd, o1 = opt_g1.update(g, o1, params)
+        params = optax.apply_updates(params, upd)
+        upd, o2 = opt_g2.update(g, o2, params)
+        params = optax.apply_updates(params, upd)
+        return params, o, o1, o2, l1 + l2 + l3
+
+    jitted = jax.jit(step)  # no donation: params alias model buffers
+    return (
+        lambda params, o, o1, o2, batch, rng: jitted(
+            model, params, o, o1, o2, batch, rng),
+        opt, opt_g1, opt_g2,
+    )
+
+
+def make_sharded_grade_step(model, mesh: Mesh, lr: float):
+    """One sharded GRADE 3-loss / 4-optimizer step (reference loop
+    train_and_evaluate.py:259-284; optimizer split as in models/grade.py
+    GradeTrainer: main Adam twice, then three generator Adams on the
+    shared gen_loss gradient). Returns ``(step, opt, opt_gens)`` with
+    ``step(params, o, (o1, o2, o3), batch, rng) -> (params, o, gens,
+    loss)``."""
+    opt = optax.adam(lr)
+    opt_gens = tuple(
+        optax.multi_transform(
+            {"g": optax.adam(lr), "f": optax.set_to_zero()},
+            _prefix_labels(model, f"g{i}_"))
+        for i in (1, 2, 3)
+    )
+
+    def step(model, params, o, gens, batch, rng):
+        o1, o2, o3 = gens
+        k1, k3 = jax.random.split(rng)
+        l1, g = jax.value_and_grad(model.loss_1)(params, batch, k1)
+        upd, o = opt.update(g, o, params)
+        params = optax.apply_updates(params, upd)
+        l2, g = jax.value_and_grad(model.bpr_reg_loss)(params, batch)
+        upd, o = opt.update(g, o, params)
+        params = optax.apply_updates(params, upd)
+        l3, g = jax.value_and_grad(model.gen_loss)(params, batch, k3)
+        upd, o1 = opt_gens[0].update(g, o1, params)
+        params = optax.apply_updates(params, upd)
+        upd, o2 = opt_gens[1].update(g, o2, params)
+        params = optax.apply_updates(params, upd)
+        upd, o3 = opt_gens[2].update(g, o3, params)
+        params = optax.apply_updates(params, upd)
+        return params, o, (o1, o2, o3), l1 + l2 + l3
+
+    jitted = jax.jit(step)
+    return (
+        lambda params, o, gens, batch, rng: jitted(
+            model, params, o, gens, batch, rng),
+        opt, opt_gens,
+    )
+
+
+def make_sharded_mhrec_steps(model, mesh: Mesh, lr: float):
+    """Sharded steps for MHRec's three-phase hyperedge-rebuild state
+    machine (reference train_and_evaluate.py:331-512; phase split as in
+    models/mhrec.py MHRecTrainer):
+
+    - phase A ``denoise(params, opt_state, rows, weights, rng, prefix)``:
+      one denoiser step over a batch of hyperedge node-lists (rows
+      sharded over the mesh; denoiser towers row-sharded over mp).
+    - phase B ``rebuild(params, nodes, rng, prefix)``: p-sample a chunk
+      of the incidence back from the denoiser (rows sharded).
+    - phase C ``hyper(params, opt_state, h_v, h_t, batch, rng)``: BPR +
+      hypergraph-attention step on the rebuilt incidences; the per-epoch
+      sorted-segment layouts are built inside so the phase stays one
+      jitted program. Adam skips the denoiser groups exactly as the
+      single-device trainer (torch skips grad=None params).
+
+    Returns ``(denoise, opt_dn, rebuild, hyper, opt_c)``.
+    """
+    dn_labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: "dn" if str(path[0].key).endswith("_dn")
+        else "frozen",
+        model.init_params(jax.random.PRNGKey(0)),
+    )
+    opt_dn = optax.multi_transform(
+        {"dn": optax.adam(lr), "frozen": optax.set_to_zero()}, dn_labels)
+    opt_c = optax.multi_transform(
+        {"dn": optax.set_to_zero(), "frozen": optax.adam(lr)}, dn_labels)
+
+    def denoise(model, params, opt_state, rows, weights, rng, prefix):
+        loss, grads = jax.value_and_grad(
+            lambda p: model.hyper_diff_loss(p, prefix, rows, weights, rng)
+        )(params)
+        upd, opt_state = opt_dn.update(grads, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        return params, opt_state, loss
+
+    def rebuild(model, params, nodes, rng, prefix):
+        return model.rebuild_rows(params, prefix, nodes, rng)
+
+    def hyper(model, params, opt_state, h_v, h_t, batch, rng):
+        layouts = (model.build_layout(h_v), model.build_layout(h_t))
+        (loss, mstate), grads = jax.value_and_grad(
+            model.loss_hyper, has_aux=True
+        )(params, batch, h_v, h_t, rng, layouts)
+        upd, opt_state = opt_c.update(grads, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        return params, opt_state, mstate, loss
+
+    jit_dn = jax.jit(denoise, static_argnames=("prefix",))
+    jit_rb = jax.jit(rebuild, static_argnames=("prefix",))
+    jit_c = jax.jit(hyper)
+    return (
+        lambda params, o, rows, w, rng, prefix: jit_dn(
+            model, params, o, rows, w, rng, prefix=prefix),
+        opt_dn,
+        lambda params, nodes, rng, prefix: jit_rb(
+            model, params, nodes, rng, prefix=prefix),
+        lambda params, o, h_v, h_t, batch, rng: jit_c(
+            model, params, o, h_v, h_t, batch, rng),
+        opt_c,
+    )
+
+
+def make_sharded_gformer_step(model, mesh: Mesh, lr: float):
+    """One sharded GFormer step against a host-resampled padded graph
+    set (reference train_and_evaluate.py:245-258: grad-clip 20 + Adam;
+    graphs resampled every fix_steps batches stay fixed-shape pytrees,
+    replicated over the mesh — models/gformer.py GFormerTrainer is the
+    single-device analog). Returns ``(step, opt)`` with ``step(params,
+    opt_state, batch, graphs) -> (params, opt_state, loss)``."""
+    opt = optax.chain(
+        optax.clip_by_global_norm(20.0),
+        optax.adam(lr),
+    )
+
+    def step(model, params, opt_state, batch, graphs):
+        loss, grads = jax.value_and_grad(model.loss_graphs)(
+            params, batch, graphs)
+        upd, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        return params, opt_state, loss
+
+    jitted = jax.jit(step)
+    return (
+        lambda params, o, batch, graphs: jitted(model, params, o, batch,
+                                                graphs),
+        opt,
+    )
+
+
+def sharded_rank_scores(model, params, history_values, num_user: int,
+                        topk: int, mesh: Mesh, model_state=None,
+                        mask_value: float = 1e-6):
+    """Sharded full-catalog eval for ``rank_mode == "scores"`` models
+    (MultVAE/DiffRec/BSPM families): user ids are sharded over the whole
+    mesh, each device computes its users' score rows via the model's own
+    ``score_users`` and applies the reference masking + top-k
+    (eval/ranking.mask_and_topk semantics — 1e-6 or -inf per model).
+    The (U, I) score matrix only ever exists as per-device shards."""
+    from chaorec_tpu.eval.ranking import mask_and_topk
+
+    n = mesh.devices.size
+    pad = (-num_user) % n
+    uids = jnp.concatenate(
+        [jnp.arange(num_user, dtype=jnp.int32),
+         jnp.zeros((pad,), jnp.int32)]) if pad else jnp.arange(
+             num_user, dtype=jnp.int32)
+    hist = history_values
+    if pad:
+        hist = jnp.pad(hist, ((0, pad), (0, 0)),
+                       constant_values=jnp.iinfo(jnp.int32).max // 2)
+    row_sh = NamedSharding(mesh, P(("dp", "mp"), None))
+    vec_sh = NamedSharding(mesh, P(("dp", "mp")))
+    uids = jax.device_put(uids, vec_sh)
+    hist = jax.device_put(hist, row_sh)
+
+    def rank(model, params, model_state, uids, hist):
+        if model.stateful and hasattr(model, "score_users_stateful"):
+            scores = model.score_users_stateful(params, model_state, uids)
+        else:
+            scores = model.score_users(params, uids)
+        return mask_and_topk(scores, hist, topk=topk, num_user=num_user,
+                             mask_value=mask_value)
+
+    ranked = jax.jit(rank, out_shardings=row_sh)(
+        model, params, model_state, uids, hist)
+    return ranked[:num_user]
+
+
 def sharded_rank(user_emb, item_emb, history_values, num_user: int,
                  topk: int, mesh: Mesh):
     """Full-catalog ranking with users sharded over the whole mesh.

@@ -321,3 +321,218 @@ def test_sharded_freedom_step_matches_single_device(tiny_dataset):
     for k in p1:
         np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_adagcl_step_matches_single_device(tiny_dataset):
+    """The adaptive-augmentation 3-optimizer family (AdaGCL, reference
+    train_and_evaluate.py:72-97): one sharded alternating step ==
+    single-device (VERDICT r2 item 6)."""
+    from chaorec_tpu.parallel.mesh import make_sharded_adagcl_step
+
+    ds = tiny_dataset
+    cfg = Config(Model="AdaGCL", batch_size=64, dim_E=16, learning_rate=1e-3,
+                 reg_weight=1e-3, ssl_alpha=0.01, ssl_temp=0.5, n_layers=2)
+    model = build_model(cfg, ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rs = np.random.default_rng(1)
+    b = 64
+    batch = Batch(
+        jnp.asarray(rs.integers(0, ds.num_user, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.ones((b,), jnp.float32), jnp.int32(0), None,
+    )
+    rng = jax.random.PRNGKey(11)
+
+    mesh1 = make_mesh(1)
+    step1, opt, og1, og2 = make_sharded_adagcl_step(model, mesh1, 1e-3)
+    p1, _, _, _, loss1 = step1(params, opt.init(params), og1.init(params),
+                               og2.init(params), batch, rng)
+
+    mesh = make_mesh(8)
+    params = model.init_params(jax.random.PRNGKey(0))
+    p_sh = shard_params(params, mesh)
+    step8, opt8, og18, og28 = make_sharded_adagcl_step(model, mesh, 1e-3)
+    p8, _, _, _, loss8 = step8(p_sh, opt8.init(p_sh), og18.init(p_sh),
+                               og28.init(p_sh), shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-4)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_grade_step_matches_single_device(tiny_dataset):
+    """The GRADE 4-optimizer family (reference
+    train_and_evaluate.py:259-284): one sharded 3-loss step ==
+    single-device (VERDICT r2 item 6)."""
+    from chaorec_tpu.parallel.mesh import make_sharded_grade_step
+
+    ds = tiny_dataset
+    cfg = Config(Model="Grade", batch_size=64, dim_E=16, learning_rate=1e-3,
+                 reg_weight=0.01, ssl_alpha=0.02, ssl_temp=0.3,
+                 ssl_temp2=0.3, noise_alpha=0.02, n_layers=2)
+    model = build_model(cfg, ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rs = np.random.default_rng(1)
+    b = 64
+    batch = Batch(
+        jnp.asarray(rs.integers(0, ds.num_user, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.ones((b,), jnp.float32), jnp.int32(0), None,
+    )
+    rng = jax.random.PRNGKey(13)
+
+    mesh1 = make_mesh(1)
+    step1, opt, gens = make_sharded_grade_step(model, mesh1, 1e-3)
+    p1, _, _, loss1 = step1(params, opt.init(params),
+                            tuple(g.init(params) for g in gens), batch, rng)
+
+    mesh = make_mesh(8)
+    params = model.init_params(jax.random.PRNGKey(0))
+    p_sh = shard_params(params, mesh)
+    step8, opt8, gens8 = make_sharded_grade_step(model, mesh, 1e-3)
+    p8, _, _, loss8 = step8(p_sh, opt8.init(p_sh),
+                            tuple(g.init(p_sh) for g in gens8),
+                            shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-4)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_mhrec_steps_match_single_device(tiny_dataset):
+    """MHRec's three-phase hyperedge-rebuild state machine (reference
+    train_and_evaluate.py:331-512): sharded denoise step, incidence
+    rebuild, and hyper-BPR step each == single-device (VERDICT r2
+    item 6)."""
+    from chaorec_tpu.parallel.mesh import make_sharded_mhrec_steps
+
+    ds = tiny_dataset
+    # fp32 phase-B sampling: the parity pin is about sharded structure;
+    # bf16's last-ulp ties can legitimately flip top-k node picks between
+    # shard layouts (precision policy is tested in test_models_e2e)
+    cfg = Config(Model="MHRec", batch_size=64, dim_E=16, learning_rate=1e-3,
+                 reg_weight=1e-4, n_layers=2, h_layers=1, uu_topk=3,
+                 ii_topk=3, num_hypernodes=2, ssl_alpha=1e-3, ssl_temp=0.1,
+                 beta1=0.5, beta2=0.5, noise_scale=0.001,
+                 graph_compute_dtype="float32")
+    model = build_model(cfg, ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rs = np.random.default_rng(1)
+    b = 32
+    rows = model.hyper_nodes_v[
+        jnp.asarray(rs.integers(0, model.hyper_nodes_v.shape[0], b))]
+    weights = jnp.ones((b,), jnp.float32)
+    batch = Batch(
+        jnp.asarray(rs.integers(0, ds.num_user, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        weights, jnp.int32(0), None,
+    )
+    rng = jax.random.PRNGKey(17)
+
+    mesh1 = make_mesh(1)
+    dn1, opt_dn, rb1, hy1, opt_c = make_sharded_mhrec_steps(model, mesh1,
+                                                            1e-3)
+    pa1, _, dl1 = dn1(params, opt_dn.init(params), rows, weights, rng,
+                      "img_dn")
+    hv1 = rb1(pa1, model.hyper_nodes_v, jax.random.PRNGKey(21), "img_dn")
+    ht1 = rb1(pa1, model.hyper_nodes_t, jax.random.PRNGKey(22), "txt_dn")
+    pc1, _, _, hl1 = hy1(pa1, opt_c.init(pa1), hv1, ht1, batch, rng)
+
+    mesh = make_mesh(8)
+    params = model.init_params(jax.random.PRNGKey(0))
+    p_sh = shard_params(params, mesh)
+    dn8, opt_dn8, rb8, hy8, opt_c8 = make_sharded_mhrec_steps(model, mesh,
+                                                              1e-3)
+    b_sh = shard_batch(batch, mesh)
+    r_sh = shard_batch(Batch(rows, rows, rows, weights, None, None), mesh)
+    pa8, _, dl8 = dn8(p_sh, opt_dn8.init(p_sh), r_sh.users, r_sh.weights,
+                      rng, "img_dn")
+    hv8 = rb8(pa8, model.hyper_nodes_v, jax.random.PRNGKey(21), "img_dn")
+    ht8 = rb8(pa8, model.hyper_nodes_t, jax.random.PRNGKey(22), "txt_dn")
+    pc8, _, _, hl8 = hy8(pa8, opt_c8.init(pa8), hv8, ht8, b_sh, rng)
+
+    np.testing.assert_allclose(float(dl8), float(dl1), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(hv8), np.asarray(hv1))
+    np.testing.assert_allclose(float(hl8), float(hl1), rtol=1e-4)
+    for (k1, l1), (k8, l8) in zip(
+        jax.tree_util.tree_leaves_with_path(pc1),
+        jax.tree_util.tree_leaves_with_path(pc8),
+    ):
+        assert k1 == k8
+        # atol 3e-5: the hyper-attention softmax denominators reduce in a
+        # different order across shards and Adam's rsqrt amplifies the
+        # last-ulp differences on near-zero second moments
+        np.testing.assert_allclose(np.asarray(l8), np.asarray(l1),
+                                   rtol=1e-4, atol=3e-5)
+
+
+def test_sharded_gformer_step_matches_single_device(tiny_dataset):
+    """GFormer's host-resampled padded-graph family (reference
+    train_and_evaluate.py:245-258): one sharded grad-clipped step against
+    a fixed GFGraphs pytree == single-device (VERDICT r2 item 6)."""
+    from chaorec_tpu.models.gformer import GFormerTrainer
+    from chaorec_tpu.parallel.mesh import make_sharded_gformer_step
+
+    ds = tiny_dataset
+    cfg = Config(Model="GFormer", batch_size=64, dim_E=16,
+                 learning_rate=1e-3, reg_weight=1e-4, n_layers=2,
+                 pnn_layer=1, ssl_alpha=1e-4, b2=0.01, ctra=1e-4)
+    model = build_model(cfg, ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    trainer = GFormerTrainer(model, ds, cfg)
+    graphs = trainer._host_sample(params)  # one fixed resample for both
+
+    rs = np.random.default_rng(1)
+    b = 64
+    batch = Batch(
+        jnp.asarray(rs.integers(0, ds.num_user, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.ones((b,), jnp.float32), jnp.int32(0), None,
+    )
+
+    mesh1 = make_mesh(1)
+    step1, opt = make_sharded_gformer_step(model, mesh1, 1e-3)
+    p1, _, loss1 = step1(params, opt.init(params), batch, graphs)
+
+    mesh = make_mesh(8)
+    params = model.init_params(jax.random.PRNGKey(0))
+    p_sh = shard_params(params, mesh)
+    step8, opt8 = make_sharded_gformer_step(model, mesh, 1e-3)
+    p8, _, loss8 = step8(p_sh, opt8.init(p_sh), shard_batch(batch, mesh),
+                         graphs)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-4)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_rank_scores_matches_mask_and_topk(tiny_dataset):
+    """Score-ranking eval sharded over users (MultVAE/BSPM/DiffRec
+    families): identical ranklists to the single-device
+    eval/ranking.mask_and_topk path (VERDICT r2 item 6)."""
+    from chaorec_tpu.eval.ranking import mask_and_topk
+    from chaorec_tpu.parallel.mesh import sharded_rank_scores
+
+    ds = tiny_dataset
+    cfg = Config(Model="MultVAE", batch_size=64, dim_E=16,
+                 learning_rate=1e-3)
+    model = build_model(cfg, ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    hist = jnp.asarray(ds.history.values)
+
+    uids = jnp.arange(ds.num_user, dtype=jnp.int32)
+    scores = model.score_users(params, uids)
+    ref = np.asarray(mask_and_topk(scores, hist, topk=10,
+                                   num_user=ds.num_user))
+
+    mesh = make_mesh(8)
+    got = np.asarray(sharded_rank_scores(model, params, hist, ds.num_user,
+                                         10, mesh))
+    np.testing.assert_array_equal(got, ref)
