@@ -692,6 +692,7 @@ def _mhrec(cfg: Config, ds: RecDataset):
         jnp.asarray(ht), v, t, cfg.dim_E, cfg.reg_weight, cfg.ii_topk,
         cfg.uu_topk, cfg.num_hypernodes, cfg.n_layers, cfg.h_layers,
         cfg.ssl_temp, cfg.ssl_alpha, cfg.beta1, cfg.beta2,
+        sample_compute_dtype=cfg.graph_compute_dtype,
     )
 
 

@@ -129,9 +129,22 @@ def dnn_init(rng: jax.Array, num_item: int, hidden, emb_size: int) -> Params:
 
 
 def dnn_forward(p: Params, x, ts, emb_size: int, n_layers: int,
-                rng=None, dropout: float = 0.5):
+                rng=None, dropout: float = 0.5, compute_dtype=None):
     """tanh MLP over [x, time_emb]; dropout on x only when training
-    (Model/DiffMM.py:437-473; sampling passes mess_dropout=False)."""
+    (Model/DiffMM.py:437-473; sampling passes mess_dropout=False).
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs the wide
+    (B, num_nodes) x (num_nodes, hidden) matmuls on the MXU in reduced
+    precision with fp32 accumulation — used by the no-gradient sampling
+    paths (MHRec phase B, ~130 TFLOP/epoch on beauty) where only the
+    ordinal top-k of the scores matters; ``None`` keeps exact fp32
+    (training losses)."""
+    if compute_dtype is None:
+        mm = lambda h, w: h @ w.T
+    else:
+        mm = lambda h, w: jnp.dot(
+            h.astype(compute_dtype), w.astype(compute_dtype).T,
+            preferred_element_type=jnp.float32)
     emb = diff.timestep_embedding(ts, emb_size)
     emb = emb @ p["emb_w"].T + p["emb_b"]
     if rng is not None:
@@ -139,9 +152,9 @@ def dnn_forward(p: Params, x, ts, emb_size: int, n_layers: int,
         x = x * jax.random.bernoulli(rng, keep, x.shape) / keep
     h = jnp.concatenate([x, emb], axis=-1)
     for i in range(n_layers):
-        h = jnp.tanh(h @ p[f"in_w{i}"].T + p[f"in_b{i}"])
+        h = jnp.tanh(mm(h, p[f"in_w{i}"]) + p[f"in_b{i}"])
     for i in range(n_layers):
-        h = h @ p[f"out_w{i}"].T + p[f"out_b{i}"]
+        h = mm(h, p[f"out_w{i}"]) + p[f"out_b{i}"]
         if i != n_layers - 1:
             h = jnp.tanh(h)
     return h

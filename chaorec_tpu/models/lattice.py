@@ -51,12 +51,15 @@ class LATTICE(RecModel):
     name = "LATTICE"
     stateful = True
 
+    # dense (I, I) bf16 item-graph budget: beyond this the carried state
+    # stays in ELL (vals, idx) form (microlens 14079 items = 396 MB bf16)
+    DENSE_ITEM_BYTES = int(1.5e9)
+
     def __init__(self, num_user, num_item, graph: BipartiteGraph, v_feat,
                  t_feat, dim_E, feat_embed_dim, reg_weight, n_layers,
                  mm_layers, ii_topk, lambda_coeff,
                  compute_dtype: str = "float32"):
         super().__init__(num_user, num_item)
-        del compute_dtype  # ELL carried state is fp32-exact and tiny
         self.graph = graph
         self.dim_E = dim_E
         self.feat_embed_dim = feat_embed_dim
@@ -67,13 +70,33 @@ class LATTICE(RecModel):
         self.lambda_coeff = lambda_coeff
         self._v_init = v_feat
         self._t_init = t_feat
-        # Frozen "original" modal graphs in ELL (vals, idx) form: top-k
-        # cosine rows, value-weighted D^-1/2 A D^-1/2 (Model/LATTICE.py:
-        # 44-61,100-106) — the (I, I) similarity exists only transiently
-        # inside top_k at init; per-step propagation reads (I, K), not
-        # (I, I) (~1000x less HBM traffic at microlens scale).
-        self.image_original = topk_sym_norm_ell(*knn_topk_ell(v_feat, ii_topk))
-        self.text_original = topk_sym_norm_ell(*knn_topk_ell(t_feat, ii_topk))
+        # GUME crossover applied to the learned (I, I) propagation
+        # (VERDICT r2 item 5; ref Model/LATTICE.py:137-177): XLA's
+        # row-gather is transaction-bound (~50-200 GB/s on v5e) while a
+        # dense bf16 MXU matmul streams the (I, I) graph at full HBM
+        # rate — at rec-catalog sizes the dense matrix read (396 MB bf16
+        # on microlens) beats the (I, 4K) gather. Carried item_adj state
+        # becomes the dense bf16 matrix; fp32 config keeps the exact ELL
+        # path (same crossover switch as graphs/norm_adj.py).
+        self.dense_items = (
+            compute_dtype == "bfloat16"
+            and num_item * num_item * 2 <= self.DENSE_ITEM_BYTES
+        )
+        if self.dense_items:
+            self.image_original_d = dense_norm_laplacian(
+                dense_knn_sim(v_feat, ii_topk)).astype(jnp.bfloat16)
+            self.text_original_d = dense_norm_laplacian(
+                dense_knn_sim(t_feat, ii_topk)).astype(jnp.bfloat16)
+        else:
+            # Frozen "original" modal graphs in ELL (vals, idx) form:
+            # top-k cosine rows, value-weighted D^-1/2 A D^-1/2
+            # (Model/LATTICE.py:44-61,100-106) — the (I, I) similarity
+            # exists only transiently inside top_k at init; per-step
+            # propagation reads (I, K), not (I, I).
+            self.image_original = topk_sym_norm_ell(
+                *knn_topk_ell(v_feat, ii_topk))
+            self.text_original = topk_sym_norm_ell(
+                *knn_topk_ell(t_feat, ii_topk))
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 4)
@@ -98,11 +121,16 @@ class LATTICE(RecModel):
                 jnp.concatenate([ii, ti], 1))
 
     def init_state(self, rng: jax.Array):
-        # item_adj ELL buffer; epoch's first batch overwrites it. Shape
-        # (I, 4K): learned block (2K slots) + original block (2K slots);
-        # here the learned block is zero-weighted padding so the carried
-        # shape is identical to _build_item_adj's output.
+        # item_adj buffer; epoch's first batch overwrites it (the value
+        # is never consumed — batch 0 of epoch 1 rebuilds), only the
+        # carried shape/dtype matter.
         w = jax.nn.softmax(jnp.asarray([0.5, 0.5]))
+        if self.dense_items:
+            return (w[0].astype(jnp.bfloat16) * self.image_original_d
+                    + w[1].astype(jnp.bfloat16) * self.text_original_d)
+        # ELL shape (I, 4K): learned block (2K slots) + original block
+        # (2K slots); the learned block is zero-weighted padding so the
+        # carried shape is identical to _build_item_adj's output.
         ov, oi = self._original_mix(w)
         return (jnp.concatenate([jnp.zeros_like(ov), ov], 1),
                 jnp.concatenate([oi, oi], 1))
@@ -121,6 +149,18 @@ class LATTICE(RecModel):
         image_feats = params["v_feat"] @ params["image_trs_w"].T + params["image_trs_b"]
         text_feats = params["t_feat"] @ params["text_trs_w"].T + params["text_trs_b"]
         w = jax.nn.softmax(params["modal_weight"])
+        if self.dense_items:
+            # dense formula (Model/LATTICE.py:117-135); the (I, I) fp32
+            # intermediates are first-batch-only transients, the carried
+            # result is bf16
+            learned = dense_norm_laplacian(
+                w[0] * dense_knn_sim(image_feats, self.topk)
+                + w[1] * dense_knn_sim(text_feats, self.topk))
+            orig = (w[0] * self.image_original_d.astype(jnp.float32)
+                    + w[1] * self.text_original_d.astype(jnp.float32))
+            adj = ((1.0 - self.lambda_coeff) * learned
+                   + self.lambda_coeff * orig)
+            return adj.astype(jnp.bfloat16)
         sv, si = knn_topk_ell(image_feats, self.topk)
         tv, ti = knn_topk_ell(text_feats, self.topk)
         lv, li = topk_sym_norm_ell(
@@ -133,10 +173,15 @@ class LATTICE(RecModel):
                 jnp.concatenate([li, oi], 1))
 
     def _forward(self, params: Params, item_adj):
-        vals, idx = item_adj
         h = params["item_embedding"]
-        for _ in range(self.mm_layers):
-            h = ell_rows_matvec(vals, idx, h)
+        if self.dense_items:
+            for _ in range(self.mm_layers):
+                h = jnp.dot(item_adj, h.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        else:
+            vals, idx = item_adj
+            for _ in range(self.mm_layers):
+                h = ell_rows_matvec(vals, idx, h)
         xu, xi = params["user_embedding"], params["item_embedding"]
         acc_u, acc_i = xu, xi
         for _ in range(self.n_layers):

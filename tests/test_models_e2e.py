@@ -301,3 +301,34 @@ def test_gume_dense_bf16_matches_ell_fp32(tiny_dataset):
         scale = jnp.maximum(jnp.max(jnp.abs(b)), 1e-6)
         assert jnp.max(jnp.abs(a - b)) / scale < 3e-2, (
             float(jnp.max(jnp.abs(a - b))), float(scale))
+
+
+def test_mhrec_phase_b_sampling_dtype_gate(tiny_dataset):
+    """Phase-B p_sample runs bf16-MXU by default (no gradients, ordinal
+    top-k output; ~130 TFLOP/epoch on beauty) and drops back to exact
+    fp32 under graph_compute_dtype="float32" (VERDICT r2 item 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    kwargs = dict(batch_size=64, dim_E=16, learning_rate=1e-3,
+                  reg_weight=1e-4, n_layers=1, h_layers=1, uu_topk=2,
+                  ii_topk=2, num_hypernodes=2, ssl_alpha=1e-3, ssl_temp=0.1,
+                  beta1=0.5, beta2=0.5, noise_scale=0.001)
+    m_bf = build_model(Config(Model="MHRec", **kwargs), tiny_dataset)
+    m_fp = build_model(
+        Config(Model="MHRec", graph_compute_dtype="float32", **kwargs),
+        tiny_dataset)
+    assert m_bf.sample_dtype == jnp.bfloat16
+    assert m_fp.sample_dtype is None
+
+    params = m_bf.init_params(jax.random.PRNGKey(0))
+    out_bf = m_bf.rebuild_rows(params, "img_dn", m_bf.hyper_nodes_v[:16],
+                               jax.random.PRNGKey(1))
+    out_fp = m_fp.rebuild_rows(params, "img_dn", m_fp.hyper_nodes_v[:16],
+                               jax.random.PRNGKey(1))
+    assert out_bf.shape == out_fp.shape == (16, 2)
+    assert int(out_bf.max()) <= m_bf.num_nodes
+    # the reduced-precision chain selects (nearly) the same top nodes at
+    # tiny scale; sanity that it is not producing garbage rankings
+    agree = float(jnp.mean((out_bf == out_fp).astype(jnp.float32)))
+    assert agree > 0.8, agree
