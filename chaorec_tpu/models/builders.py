@@ -608,6 +608,7 @@ def _diffrec(cfg: Config, ds: RecDataset):
     return DiffRec(
         ds.num_user, ds.num_item, jnp.asarray(dense_interactions(ds)),
         cfg.noise_scale, cfg.noise_min, cfg.noise_max, cfg.steps, cfg.dims,
+        sample_compute_dtype=cfg.graph_compute_dtype,
     )
 
 
@@ -752,6 +753,7 @@ def _diffmm(cfg: Config, ds: RecDataset):
         jnp.asarray(dense_interactions(ds)), v, t, cfg.dim_E,
         cfg.reg_weight, cfg.n_layers, cfg.ssl_alpha, cfg.ssl_temp,
         cfg.ris_lambda, cfg.e_loss, cfg.rebuild_k,
+        sample_compute_dtype=cfg.graph_compute_dtype,
     )
 
 

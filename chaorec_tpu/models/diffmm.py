@@ -171,8 +171,13 @@ class DiffMM(RecModel):
     def __init__(self, num_user, num_item, graph: BipartiteGraph,
                  dense_interactions, v_feat, t_feat, dim_E, reg_weight,
                  n_layers, ssl_alpha, ssl_temp, ris_lambda, e_loss,
-                 rebuild_k, hidden_dims=(1000,)):
+                 rebuild_k, hidden_dims=(1000,),
+                 sample_compute_dtype="bfloat16"):
         super().__init__(num_user, num_item)
+        # phase-B rebuild sampling precision (no-grad, ordinal top-k
+        # output — same policy as MHRec phase B); training stays fp32
+        self.sample_dtype = (jnp.bfloat16
+                             if sample_compute_dtype == "bfloat16" else None)
         self.graph = graph
         self.x = dense_interactions
         self.v_feat = v_feat
@@ -228,10 +233,12 @@ class DiffMM(RecModel):
         txt = self.t_feat @ params["txt_w"].T + params["txt_b"]
         return img, txt
 
-    def _dnn(self, params: Params, prefix: str, x, ts, rng=None):
+    def _dnn(self, params: Params, prefix: str, x, ts, rng=None,
+             compute_dtype=None):
         return dnn_forward(params[prefix], x, ts, self.emb_size,
                            len(self.hidden_dims),
-                           rng=rng, dropout=self.dnn_dropout)
+                           rng=rng, dropout=self.dnn_dropout,
+                           compute_dtype=compute_dtype)
 
     def _gcn_sum(self, eu, ei):
         su, si = eu, ei
@@ -347,9 +354,13 @@ class DiffMM(RecModel):
         k_img, k_txt = jax.random.split(rng)
 
         def one(prefix, key):
+            # no-grad sampling; only the top-k ORDER survives into the
+            # rebuilt adjacency, so the wide matmuls run at sample_dtype
+            # (bf16 MXU, fp32 accumulation; float32 config = exact)
             scores = diff.p_sample(
                 self.sched,
-                lambda x_t, ts: self._dnn(params, prefix, x_t, ts),
+                lambda x_t, ts: self._dnn(params, prefix, x_t, ts,
+                                          compute_dtype=self.sample_dtype),
                 self.x,
             )
             topk = jax.lax.top_k(scores, self.rebuild_k)[1]

@@ -37,8 +37,14 @@ class DiffRec(RecModel):
     dnn_dropout = 0.5
 
     def __init__(self, num_user, num_item, dense_interactions, noise_scale,
-                 noise_min, noise_max, steps, dims):
+                 noise_min, noise_max, steps, dims,
+                 sample_compute_dtype="bfloat16"):
         super().__init__(num_user, num_item)
+        # eval-scoring p_sample precision: ranking is ordinal, and the
+        # eval matmul path already scores in bf16 (eval/ranking
+        # _rank_chunk); training_loss always stays fp32
+        self.sample_dtype = (jnp.bfloat16
+                             if sample_compute_dtype == "bfloat16" else None)
         self.x = dense_interactions
         self.sched = diff.make_schedule(noise_scale, noise_min, noise_max, steps)
         hidden = ast.literal_eval(dims) if isinstance(dims, str) else list(dims)
@@ -66,7 +72,13 @@ class DiffRec(RecModel):
     def init_state(self, rng: jax.Array):
         return diff.init_lt_state(self.steps)
 
-    def _dnn(self, params, x, ts, rng=None):
+    def _dnn(self, params, x, ts, rng=None, compute_dtype=None):
+        if compute_dtype is None:
+            mm = lambda h, w: h @ w.T
+        else:
+            mm = lambda h, w: jnp.dot(
+                h.astype(compute_dtype), w.astype(compute_dtype).T,
+                preferred_element_type=jnp.float32)
         emb = diff.timestep_embedding(ts, self.emb_size)
         emb = emb @ params["emb_w"].T + params["emb_b"]
         if rng is not None:
@@ -75,10 +87,10 @@ class DiffRec(RecModel):
         h = jnp.concatenate([x, emb], axis=-1)
         n_in = len(self.in_dims) - 1
         for i in range(n_in):
-            h = jnp.tanh(h @ params[f"in_w{i}"].T + params[f"in_b{i}"])
+            h = jnp.tanh(mm(h, params[f"in_w{i}"]) + params[f"in_b{i}"])
         n_out = len(self.out_dims) - 1
         for i in range(n_out):
-            h = h @ params[f"out_w{i}"].T + params[f"out_b{i}"]
+            h = mm(h, params[f"out_w{i}"]) + params[f"out_b{i}"]
             if i != n_out - 1:
                 h = jnp.tanh(h)
         return h
@@ -96,5 +108,8 @@ class DiffRec(RecModel):
     def score_users(self, params: Params, user_ids: jnp.ndarray) -> jnp.ndarray:
         rows = self.x[user_ids]
         return diff.p_sample(
-            self.sched, lambda x_t, ts: self._dnn(params, x_t, ts), rows
+            self.sched,
+            lambda x_t, ts: self._dnn(params, x_t, ts,
+                                      compute_dtype=self.sample_dtype),
+            rows,
         )

@@ -332,3 +332,42 @@ def test_mhrec_phase_b_sampling_dtype_gate(tiny_dataset):
     # tiny scale; sanity that it is not producing garbage rankings
     agree = float(jnp.mean((out_bf == out_fp).astype(jnp.float32)))
     assert agree > 0.8, agree
+
+
+def test_diffusion_sampling_dtype_gates(tiny_dataset):
+    """DiffMM's rebuild and DiffRec's eval p_sample follow the same
+    no-grad bf16-MXU policy as MHRec phase B, and drop to exact fp32
+    under graph_compute_dtype="float32"."""
+    import jax
+    import jax.numpy as jnp
+
+    mm_kwargs = dict(batch_size=64, dim_E=16, learning_rate=1e-3,
+                     n_layers=1, ssl_alpha=1e-3, ssl_temp=0.1,
+                     ris_lambda=0.5, e_loss=0.01, rebuild_k=1,
+                     reg_weight=1e-4)
+    m_bf = build_model(Config(Model="DiffMM", **mm_kwargs), tiny_dataset)
+    m_fp = build_model(
+        Config(Model="DiffMM", graph_compute_dtype="float32", **mm_kwargs),
+        tiny_dataset)
+    assert m_bf.sample_dtype == jnp.bfloat16 and m_fp.sample_dtype is None
+    st = m_bf.rebuild_graphs(m_bf.init_params(jax.random.PRNGKey(0)),
+                             jax.random.PRNGKey(1))
+    assert jax.tree_util.tree_leaves(st)  # rebuilt state materializes
+
+    dr_kwargs = dict(batch_size=64, dim_E=16, learning_rate=1e-3,
+                     noise_scale=0.001, noise_min=0.005, noise_max=0.005,
+                     steps=5, dims="[64]")
+    d_bf = build_model(Config(Model="DiffRec", **dr_kwargs), tiny_dataset)
+    d_fp = build_model(
+        Config(Model="DiffRec", graph_compute_dtype="float32", **dr_kwargs),
+        tiny_dataset)
+    assert d_bf.sample_dtype == jnp.bfloat16 and d_fp.sample_dtype is None
+    p = d_bf.init_params(jax.random.PRNGKey(0))
+    uids = jnp.arange(8, dtype=jnp.int32)
+    s_bf = d_bf.score_users(p, uids)
+    s_fp = d_fp.score_users(p, uids)
+    assert s_bf.dtype == jnp.float32  # fp32 accumulation
+    # near-identical scores at tiny scale; ranking-ordinal use downstream
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(s_bf), np.asarray(s_fp),
+                               rtol=5e-2, atol=5e-2)
