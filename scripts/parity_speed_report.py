@@ -1,0 +1,73 @@
+"""Summarize parity_logs/*.speed.stdout into PARITY.md-ready speed rows.
+
+Each speed stdout is a short fixed-epoch run logged by the trainer's
+honest per-epoch wall clock (`epoch_time_s: total ...` — the total
+includes the previous epoch's device work resolved under the
+one-epoch-deep pipeline, matching how the reference column is computed
+from its log timestamp deltas). The first epoch is compile + warmup and
+is dropped; the row value is the median of the steady-state epochs.
+
+Usage: python scripts/parity_speed_report.py [parity_logs]
+"""
+
+from __future__ import annotations
+
+import re
+import statistics
+import sys
+from pathlib import Path
+
+# reference epoch seconds from /root/reference/log timestamp deltas
+# (BASELINE.md); None = no reference log to compare against
+REF_EPOCH_S = {
+    "CF_Diff_beauty": 91.0,
+    "SMORE_sports": 15.0,
+    "DRAGON_sports": 17.0,
+    "MICRO_microlens": 54.0,
+    "LATTICE_microlens": 5.0,
+    "MHRec_beauty": 4.0,        # phase-C-only workload in the ref log
+    "MHRec_beauty.phaseC": 4.0,
+    "DiffMM_beauty": 13.0,
+    "GUME_sports": 15.0,
+    "COHESION_sports": 30.0,
+    "MMSSL_beauty": 26.0,
+    "MCLN_beauty": 9.0,
+}
+
+LINE = re.compile(r"epoch_time_s: total ([0-9.]+)")
+
+
+def summarize(path: Path):
+    times = [float(m.group(1)) for m in map(LINE.search,
+                                            path.read_text().splitlines())
+             if m]
+    if len(times) < 3:
+        return None
+    steady = times[1:]  # drop compile epoch
+    return statistics.median(steady), len(steady)
+
+
+def main() -> None:
+    root = Path(sys.argv[1] if len(sys.argv) > 1 else "parity_logs")
+    rows = []
+    for path in sorted(root.glob("*.speed.stdout")):
+        name = path.name.replace(".speed.stdout", "")
+        s = summarize(path)
+        if s is None:
+            rows.append((name, None, None, None))
+            continue
+        med, n = s
+        ref = REF_EPOCH_S.get(name)
+        rows.append((name, med, n, ref))
+    w = max((len(r[0]) for r in rows), default=10)
+    print(f"{'workload':<{w}}  epochs  median_s  ref_s  speedup")
+    for name, med, n, ref in rows:
+        if med is None:
+            print(f"{name:<{w}}  (no steady-state epochs — run incomplete)")
+            continue
+        spd = f"{ref / med:7.2f}x" if ref else "      —"
+        print(f"{name:<{w}}  {n:>6}  {med:8.3f}  {ref if ref else '—':>5}  {spd}")
+
+
+if __name__ == "__main__":
+    main()
