@@ -30,24 +30,34 @@ from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
 from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg, l2norm
 
 
-def full_catalog_cl(z1, z2, tau, bf16: bool = False):
+def full_catalog_cl(z1, z2, tau, fast: bool = False):
     """mean_i -log( e(s(z1_i,z2_i)/t) / (sum_j e(s(z1_i,z1_j)/t) +
     sum_j e(s(z1_i,z2_j)/t) - e(s(z1_i,z1_i)/t)) )  (Model/MICRO.py:170-191).
 
-    ``bf16`` routes the two (I, I) similarity matmuls through the MXU in
-    bfloat16 with fp32 accumulation (gated on cfg.graph_compute_dtype,
-    same knob as the multimodal towers); the positive diagonal is always
-    recomputed exactly in fp32 (a row-dot, not a matmul)."""
+    ``fast`` (gated on cfg.graph_compute_dtype == "bfloat16", the same
+    knob as the multimodal towers) evaluates the denominator in the LOG
+    domain through one streaming logsumexp over the concatenated
+    catalog [z1; z2] (ops/losses.catalog_logsumexp → the Pallas
+    flash-style kernel on TPU): sum_j e(s(i,z1_j)) + sum_j e(s(i,z2_j))
+    = e(lse_i), and the self term is removed stably via
+    log1p(-e(s_ii - lse_i)). The (I, I) refl/betw exponential matrices —
+    four catalog-sized HBM materializations per step in the direct
+    form — never exist. ``fast=False`` keeps the reference's exact fp32
+    formulation (MMSSL's batch-sized calls also use it — at (B, B) size
+    the direct form is already cheap)."""
     n1, n2 = l2norm(z1), l2norm(z2)
-    if bf16:
-        a1, a2 = n1.astype(jnp.bfloat16), n2.astype(jnp.bfloat16)
-    else:
-        a1, a2 = n1, n2
-    refl = jnp.exp(jnp.dot(a1, a1.T, preferred_element_type=jnp.float32) / tau)
-    betw = jnp.exp(jnp.dot(a1, a2.T, preferred_element_type=jnp.float32) / tau)
-    pos = jnp.exp(jnp.sum(n1 * n2, axis=1) / tau)
+    pos_s = jnp.sum(n1 * n2, axis=1) / tau
+    if fast:
+        from chaorec_tpu.ops.losses import catalog_logsumexp
+
+        lse = catalog_logsumexp(n1, jnp.concatenate([n1, n2], 0), tau)
+        self_s = jnp.sum(n1 * n1, axis=1) / tau
+        log_denom = lse + jnp.log1p(-jnp.exp(self_s - lse))
+        return jnp.mean(-jnp.log(jnp.exp(pos_s - log_denom) + 1e-12))
+    refl = jnp.exp(jnp.dot(n1, n1.T, preferred_element_type=jnp.float32) / tau)
+    betw = jnp.exp(jnp.dot(n1, n2.T, preferred_element_type=jnp.float32) / tau)
     denom = refl.sum(1) + betw.sum(1) - jnp.diagonal(refl)
-    return jnp.mean(-jnp.log(pos / denom + 1e-12))
+    return jnp.mean(-jnp.log(jnp.exp(pos_s) / denom + 1e-12))
 
 
 class MICRO(RecModel):
@@ -60,8 +70,9 @@ class MICRO(RecModel):
                  compute_dtype: str = "bfloat16"):
         super().__init__(num_user, num_item)
         # ELL carried graph state stays fp32-exact; the gate only routes
-        # the full-catalog InfoNCE (I, I) matmuls through bf16 MXU.
-        self.cl_bf16 = compute_dtype == "bfloat16"
+        # the full-catalog InfoNCE through the streaming log-domain path
+        # (Pallas LSE on TPU — no (I, I) exponential materialization).
+        self.cl_fast = compute_dtype == "bfloat16"
         self.graph = graph
         self.dim_E = dim_E
         self.n_ui_layers = n_layers
@@ -159,8 +170,8 @@ class MICRO(RecModel):
         w = batch.weights
         total = bpr_loss(jnp.sum(u * pos, 1), jnp.sum(u * neg, 1), w, eps=1e-5)
         total = total + emb_l2_reg(self.reg_weight, (u, pos, neg), w)
-        cl = (full_catalog_cl(img_i, h, self.tau, self.cl_bf16)
-              + full_catalog_cl(txt_i, h, self.tau, self.cl_bf16))
+        cl = (full_catalog_cl(img_i, h, self.tau, self.cl_fast)
+              + full_catalog_cl(txt_i, h, self.tau, self.cl_fast))
         return total + self.beta * cl, jax.tree.map(jax.lax.stop_gradient, adjs)
 
     def embeddings_stateful(self, params: Params, state):

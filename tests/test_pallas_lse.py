@@ -41,3 +41,29 @@ def test_streaming_lse_gradients_match():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_micro_full_catalog_cl_fast_matches_exact():
+    """MICRO's streaming log-domain InfoNCE == the reference's direct
+    (I, I) formulation in value AND gradient (the fast path never
+    materializes the catalog-sized exponential matrices)."""
+    import numpy as np
+
+    from chaorec_tpu.models.micro import full_catalog_cl
+
+    rs = np.random.default_rng(5)
+    z1 = jnp.asarray(rs.standard_normal((200, 16)), jnp.float32)
+    z2 = jnp.asarray(rs.standard_normal((200, 16)), jnp.float32)
+    tau = 0.2
+
+    exact = full_catalog_cl(z1, z2, tau, fast=False)
+    fast = full_catalog_cl(z1, z2, tau, fast=True)
+    np.testing.assert_allclose(float(fast), float(exact), rtol=2e-5)
+
+    g_e = jax.grad(lambda a, b: full_catalog_cl(a, b, tau, False),
+                   argnums=(0, 1))(z1, z2)
+    g_f = jax.grad(lambda a, b: full_catalog_cl(a, b, tau, True),
+                   argnums=(0, 1))(z1, z2)
+    for ge, gf in zip(g_e, g_f):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(ge),
+                                   rtol=1e-4, atol=1e-6)
