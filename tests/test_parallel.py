@@ -536,3 +536,26 @@ def test_sharded_rank_scores_matches_mask_and_topk(tiny_dataset):
     got = np.asarray(sharded_rank_scores(model, params, hist, ds.num_user,
                                          10, mesh))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_cli_mesh_shape_family_trainers(tiny_dataset):
+    """--mesh_shape drives the FAMILY trainers end-to-end too: the
+    sharded parameter tables flow through their jitted whole-epoch scans
+    (adversarial MMSSL, 3-optimizer AdaGCL) with XLA propagating the
+    shardings — no family-specific CLI plumbing needed."""
+    from chaorec_tpu.train.loop import Trainer
+
+    for name, extra in [
+        ("MMSSL", dict(ssl_alpha=0.1, ssl_temp=0.5, G_rate=1e-4,
+                       mm_layers=1, learning_rate=0.005, reg_weight=1e-5)),
+        ("AdaGCL", dict(ssl_alpha=0.01, ssl_temp=0.5, reg_weight=1e-3,
+                        learning_rate=0.05)),
+    ]:
+        cfg = Config(Model=name, batch_size=64, num_epoch=2, dim_E=8,
+                     n_layers=1, patience=2, mesh_shape="dp=4,mp=2",
+                     **extra)
+        model = build_model(cfg, tiny_dataset)
+        trainer = getattr(model, "trainer_cls", Trainer)(
+            model, tiny_dataset, cfg)
+        best = trainer.run()
+        assert 20 in best and best[20]["recall"] >= 0.0, (name, best)
