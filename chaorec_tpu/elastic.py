@@ -61,18 +61,27 @@ def probe_backend(timeout_s: float = 300.0) -> Optional[str]:
 def wait_for_backend(max_wait_s: float = 1800.0, poll_s: float = 30.0,
                      probe_timeout_s: float = 300.0,
                      accept_cpu: Optional[bool] = None,
-                     log=print) -> str:
+                     pin_cpu_on_expiry: bool = True,
+                     log=print) -> Optional[str]:
     """Bounded wait for a usable backend; returns the platform name.
 
     ``accept_cpu`` defaults to True only when the environment itself
     pins ``JAX_PLATFORMS`` to cpu (tests, virtual meshes); under an
-    accelerator env a cpu answer means the plugin failed and is retried.
-    If the budget expires, pins ``JAX_PLATFORMS=cpu`` for this process's
-    children and returns "cpu" so callers can still make progress with a
-    self-describing fallback.
+    accelerator env (set OR plugin-discovered) a cpu answer means the
+    plugin failed and is retried.
+
+    On expiry: with ``pin_cpu_on_expiry`` (the bench contract — an
+    artifact must still be produced), the cpu fallback is pinned for
+    this process AND its children — env var, the tunnel-plugin trigger
+    removed (``PALLAS_AXON_POOL_IPS``; sitecustomize's registration can
+    otherwise override the env pin / hang child startup), and
+    ``jax.config`` if jax is importable — then "cpu" is returned.
+    Without it (the training supervisor — a later attempt should still
+    reach the accelerator once it returns), nothing is mutated and
+    ``None`` is returned.
     """
     if accept_cpu is None:
-        accept_cpu = os.environ.get("JAX_PLATFORMS", "") in ("", "cpu")
+        accept_cpu = os.environ.get("JAX_PLATFORMS") == "cpu"
     deadline = time.time() + max_wait_s
     attempt = 0
     while True:
@@ -84,7 +93,16 @@ def wait_for_backend(max_wait_s: float = 1800.0, poll_s: float = 30.0,
         log(f"# elastic: backend probe {attempt} failed "
             f"(got {platform!r}); {remaining:.0f}s left")
         if remaining <= 0:
+            if not pin_cpu_on_expiry:
+                return None
             os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+            try:  # in-process callers (bench) may already have jax loaded
+                import jax
+
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
             return "cpu"
         time.sleep(min(poll_s, max(remaining, 1.0)))
 
@@ -132,10 +150,18 @@ def supervise(cmd: Sequence[str], retries: int = 5,
             if attempt > retries:
                 log(f"# elastic: giving up after {attempt} attempts")
                 return rc
+            # No cpu pinning here: a training relaunch must reach the
+            # accelerator once it returns — an expired wait relaunches
+            # anyway (the attempt budget bounds it) without poisoning
+            # the env for every later attempt.
             platform = wait_for_backend(backend_wait_s,
                                         probe_timeout_s=probe_timeout_s,
+                                        pin_cpu_on_expiry=False,
                                         log=log)
-            log(f"# elastic: backend back ({platform}); relaunching")
+            if platform is None:
+                log("# elastic: wait expired; relaunching anyway")
+            else:
+                log(f"# elastic: backend back ({platform}); relaunching")
     finally:
         if in_main:
             for s, h in old.items():

@@ -256,6 +256,78 @@ class AdaGCL(RecModel):
         return x[: self.num_user], x[self.num_user:]
 
 
+def generator_labels(model, prefix: str):
+    """optax.multi_transform label tree: "g" for params whose top-level
+    key starts with ``prefix``, "f" otherwise (the reference's
+    per-generator optimizers act on disjoint param groups)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "g" if str(path[0].key).startswith(prefix) else "f",
+        model.init_params(jax.random.PRNGKey(0)),
+    )
+
+
+def alternating_step(model, opt, opt_g1, opt_g2,
+                     params, o, o1, o2, batch, k1, k2):
+    """One AdaGCL 3-loss / 3-optimizer alternating step
+    (train_and_evaluate.py:72-97) — THE single definition, shared by the
+    whole-epoch scan trainer below and the sharded per-batch step
+    (parallel/mesh.py), so the parity-critical loss sequence cannot
+    drift between the two paths."""
+    w = batch.weights
+
+    def loss1(pp):
+        w1 = model.g1_generate(pp)
+        out1 = model.forward_graphcl(pp, w1)
+        out2 = model.forward_graphcl_g2(pp)
+        l = model.ssl_alpha * model.loss_graphcl(
+            out1, out2, batch.users, batch.pos_items, w)
+        return l, (out1, out2)
+
+    (l1, (out1, out2)), g = jax.value_and_grad(loss1, has_aux=True)(params)
+    upd, o = opt.update(g, o, params)
+    params = optax.apply_updates(params, upd)
+
+    def loss2(pp):
+        w1 = model.g1_generate(pp)
+        v1 = model.forward_graphcl(pp, w1)
+        v2 = model.forward_graphcl_g2(pp)
+        det1 = jax.lax.stop_gradient(out1)
+        det2 = jax.lax.stop_gradient(out2)
+        return model.ib_reg * (
+            model.loss_graphcl(v1, det1, batch.users, batch.pos_items, w)
+            + model.loss_graphcl(v2, det2, batch.users, batch.pos_items, w)
+        )
+
+    l2, g = jax.value_and_grad(loss2)(params)
+    upd, o = opt.update(g, o, params)
+    params = optax.apply_updates(params, upd)
+
+    def loss3(pp):
+        x = model.forward_graphcl(pp)
+        xu, xi = x[: model.num_user], x[model.num_user:]
+        uu = xu[batch.users]
+        ppos = xi[batch.pos_items]
+        nneg = xi[batch.neg_items]
+        bpr = bpr_loss(jnp.sum(uu * ppos, 1), jnp.sum(uu * nneg, 1),
+                       w, eps=1e-5)
+        reg = emb_l2_reg(
+            model.reg_weight,
+            (pp["uEmbeds"][batch.users],
+             pp["iEmbeds"][batch.pos_items],
+             pp["iEmbeds"][batch.neg_items]), w)
+        gen = model.g1_loss(pp, batch, k1) + model.g2_loss(pp, batch, k2)
+        return bpr + reg + gen
+
+    l3, g = jax.value_and_grad(loss3)(params)
+    upd, o = opt.update(g, o, params)
+    params = optax.apply_updates(params, upd)
+    upd, o1 = opt_g1.update(g, o1, params)
+    params = optax.apply_updates(params, upd)
+    upd, o2 = opt_g2.update(g, o2, params)
+    params = optax.apply_updates(params, upd)
+    return params, o, o1, o2, l1 + l2 + l3
+
+
 class AdaGCLTrainer:
     """4-loss / 3-optimizer alternating loop (train_and_evaluate.py:72-97)."""
 
@@ -269,18 +341,12 @@ class AdaGCLTrainer:
         opt = optax.adam(cfg.learning_rate)
         opt_g1 = optax.multi_transform(
             {"g": optax.adam(cfg.learning_rate), "f": optax.set_to_zero()},
-            jax.tree_util.tree_map_with_path(
-                lambda path, _: "g" if str(path[0].key).startswith("g1_") else "f",
-                model.init_params(jax.random.PRNGKey(0)),
-            ),
+            generator_labels(model, "g1_"),
         )
         opt_g2 = optax.multi_transform(
             {"g": optax.adam(cfg.learning_rate, eps=1e-3),
              "f": optax.set_to_zero()},
-            jax.tree_util.tree_map_with_path(
-                lambda path, _: "g" if str(path[0].key).startswith("g2_") else "f",
-                model.init_params(jax.random.PRNGKey(0)),
-            ),
+            generator_labels(model, "g2_"),
         )
         from chaorec_tpu.data.sampling import make_epoch_batches, sample_negatives
 
@@ -298,62 +364,10 @@ class AdaGCLTrainer:
                 neg = sample_negatives(k_neg, u, history, num_item,
                                        cfg.neg_candidates)
                 batch = Batch(u, p, neg, w)
-
-                def loss1(pp):
-                    w1 = model.g1_generate(pp)
-                    out1 = model.forward_graphcl(pp, w1)
-                    out2 = model.forward_graphcl_g2(pp)
-                    l = model.ssl_alpha * model.loss_graphcl(
-                        out1, out2, batch.users, batch.pos_items, w)
-                    return l, (out1, out2)
-
-                (l1, (out1, out2)), g = jax.value_and_grad(
-                    loss1, has_aux=True)(params)
-                upd, o = opt.update(g, o, params)
-                params = optax.apply_updates(params, upd)
-
-                def loss2(pp):
-                    w1 = model.g1_generate(pp)
-                    v1 = model.forward_graphcl(pp, w1)
-                    v2 = model.forward_graphcl_g2(pp)
-                    det1 = jax.lax.stop_gradient(out1)
-                    det2 = jax.lax.stop_gradient(out2)
-                    return model.ib_reg * (
-                        model.loss_graphcl(v1, det1, batch.users,
-                                           batch.pos_items, w)
-                        + model.loss_graphcl(v2, det2, batch.users,
-                                             batch.pos_items, w)
-                    )
-
-                l2, g = jax.value_and_grad(loss2)(params)
-                upd, o = opt.update(g, o, params)
-                params = optax.apply_updates(params, upd)
-
-                def loss3(pp):
-                    x = model.forward_graphcl(pp)
-                    xu, xi = x[: model.num_user], x[model.num_user:]
-                    uu = xu[batch.users]
-                    ppos = xi[batch.pos_items]
-                    nneg = xi[batch.neg_items]
-                    bpr = bpr_loss(jnp.sum(uu * ppos, 1), jnp.sum(uu * nneg, 1),
-                                   w, eps=1e-5)
-                    reg = emb_l2_reg(
-                        model.reg_weight,
-                        (pp["uEmbeds"][batch.users],
-                         pp["iEmbeds"][batch.pos_items],
-                         pp["iEmbeds"][batch.neg_items]), w)
-                    gen = model.g1_loss(pp, batch, k1) + model.g2_loss(
-                        pp, batch, k2)
-                    return bpr + reg + gen
-
-                l3, g = jax.value_and_grad(loss3)(params)
-                upd, o = opt.update(g, o, params)
-                params = optax.apply_updates(params, upd)
-                upd, o1 = opt_g1.update(g, o1, params)
-                params = optax.apply_updates(params, upd)
-                upd, o2 = opt_g2.update(g, o2, params)
-                params = optax.apply_updates(params, upd)
-                return (params, o, o1, o2, rng), l1 + l2 + l3
+                params, o, o1, o2, loss = alternating_step(
+                    model, opt, opt_g1, opt_g2,
+                    params, o, o1, o2, batch, k1, k2)
+                return (params, o, o1, o2, rng), loss
 
             (params, o, o1, o2, rng), losses = jax.lax.scan(
                 step, (params, o, o1, o2, rng), (users, pos, weights)

@@ -259,6 +259,27 @@ class Grade(RecModel):
         return self.forward_gcn(params)
 
 
+def grade_step(model, opt, opt_gens, params, o, gens, batch, k1, k3):
+    """One GRADE 3-loss / 4-optimizer step (train_and_evaluate.py:
+    259-284) — THE single definition, shared by the whole-epoch scan
+    trainer below and the sharded per-batch step (parallel/mesh.py)."""
+    o1, o2, o3 = gens
+    l1, g = jax.value_and_grad(model.loss_1)(params, batch, k1)
+    upd, o = opt.update(g, o, params)
+    params = optax.apply_updates(params, upd)
+    l2, g = jax.value_and_grad(model.bpr_reg_loss)(params, batch)
+    upd, o = opt.update(g, o, params)
+    params = optax.apply_updates(params, upd)
+    l3, g = jax.value_and_grad(model.gen_loss)(params, batch, k3)
+    upd, o1 = opt_gens[0].update(g, o1, params)
+    params = optax.apply_updates(params, upd)
+    upd, o2 = opt_gens[1].update(g, o2, params)
+    params = optax.apply_updates(params, upd)
+    upd, o3 = opt_gens[2].update(g, o3, params)
+    params = optax.apply_updates(params, upd)
+    return params, o, (o1, o2, o3), l1 + l2 + l3
+
+
 class GradeTrainer:
     """3-step loop: main Adam on loss_1, main Adam on bpr_reg, generator
     Adams on gen_loss (train_and_evaluate.py:259-284)."""
@@ -271,17 +292,12 @@ class GradeTrainer:
         num_item = dataset.num_item
         opt = optax.adam(cfg.learning_rate)
 
-        def gen_labels(prefix):
-            return jax.tree_util.tree_map_with_path(
-                lambda path, _: "g" if str(path[0].key).startswith(prefix)
-                else "f",
-                model.init_params(jax.random.PRNGKey(0)),
-            )
+        from chaorec_tpu.models.adagcl import generator_labels
 
         opt_gens = [
             optax.multi_transform(
                 {"g": optax.adam(cfg.learning_rate), "f": optax.set_to_zero()},
-                gen_labels(f"g{i}_"),
+                generator_labels(model, f"g{i}_"),
             )
             for i in (1, 2, 3)
         ]
@@ -301,20 +317,10 @@ class GradeTrainer:
                 neg = sample_negatives(k_neg, u, history, num_item,
                                        cfg.neg_candidates)
                 batch = Batch(u, p, neg, w)
-                l1, g = jax.value_and_grad(model.loss_1)(params, batch, k1)
-                upd, o = opt.update(g, o, params)
-                params = optax.apply_updates(params, upd)
-                l2, g = jax.value_and_grad(model.bpr_reg_loss)(params, batch)
-                upd, o = opt.update(g, o, params)
-                params = optax.apply_updates(params, upd)
-                l3, g = jax.value_and_grad(model.gen_loss)(params, batch, k3)
-                upd, o1 = opt_gens[0].update(g, o1, params)
-                params = optax.apply_updates(params, upd)
-                upd, o2 = opt_gens[1].update(g, o2, params)
-                params = optax.apply_updates(params, upd)
-                upd, o3 = opt_gens[2].update(g, o3, params)
-                params = optax.apply_updates(params, upd)
-                return (params, o, o1, o2, o3, rng), l1 + l2 + l3
+                params, o, (o1, o2, o3), loss = grade_step(
+                    model, opt, tuple(opt_gens),
+                    params, o, (o1, o2, o3), batch, k1, k3)
+                return (params, o, o1, o2, o3, rng), loss
 
             (params, o, o1, o2, o3, rng), losses = jax.lax.scan(
                 step, (params, o, o1, o2, o3, rng), (users, pos, weights)

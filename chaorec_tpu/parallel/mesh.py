@@ -229,89 +229,28 @@ def make_sharded_diffmm_steps(model, mesh: Mesh, lr: float):
     )
 
 
-def _prefix_labels(model, prefix: str):
-    """Label tree: "g" for params whose top-level key starts with
-    ``prefix``, "f" otherwise (the reference's per-generator optimizers
-    act on disjoint param groups)."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, _: "g" if str(path[0].key).startswith(prefix) else "f",
-        model.init_params(jax.random.PRNGKey(0)),
-    )
-
-
 def make_sharded_adagcl_step(model, mesh: Mesh, lr: float):
     """One sharded AdaGCL 3-loss / 3-optimizer alternating step — the
     adaptive-augmentation family (reference loop
-    train_and_evaluate.py:72-97; optimizer split as in
-    models/adagcl.py AdaGCLTrainer: main Adam, g1 Adam, g2 Adam eps=1e-3
-    on disjoint generator groups). Returns ``(step, opt, opt_g1,
-    opt_g2)`` with ``step(params, o, o1, o2, batch, rng) -> (params, o,
-    o1, o2, loss)``."""
-    from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg
+    train_and_evaluate.py:72-97). The step body IS
+    models/adagcl.alternating_step — the same function the whole-epoch
+    scan trainer runs — so the sharded and single-device paths cannot
+    drift. Returns ``(step, opt, opt_g1, opt_g2)`` with ``step(params,
+    o, o1, o2, batch, rng) -> (params, o, o1, o2, loss)``."""
+    from chaorec_tpu.models.adagcl import alternating_step, generator_labels
 
     opt = optax.adam(lr)
     opt_g1 = optax.multi_transform(
         {"g": optax.adam(lr), "f": optax.set_to_zero()},
-        _prefix_labels(model, "g1_"))
+        generator_labels(model, "g1_"))
     opt_g2 = optax.multi_transform(
         {"g": optax.adam(lr, eps=1e-3), "f": optax.set_to_zero()},
-        _prefix_labels(model, "g2_"))
+        generator_labels(model, "g2_"))
 
     def step(model, params, o, o1, o2, batch, rng):
         k1, k2 = jax.random.split(rng)
-        w = batch.weights
-
-        def loss1(pp):
-            w1 = model.g1_generate(pp)
-            out1 = model.forward_graphcl(pp, w1)
-            out2 = model.forward_graphcl_g2(pp)
-            l = model.ssl_alpha * model.loss_graphcl(
-                out1, out2, batch.users, batch.pos_items, w)
-            return l, (out1, out2)
-
-        (l1, (out1, out2)), g = jax.value_and_grad(
-            loss1, has_aux=True)(params)
-        upd, o = opt.update(g, o, params)
-        params = optax.apply_updates(params, upd)
-
-        def loss2(pp):
-            w1 = model.g1_generate(pp)
-            v1 = model.forward_graphcl(pp, w1)
-            v2 = model.forward_graphcl_g2(pp)
-            det1 = jax.lax.stop_gradient(out1)
-            det2 = jax.lax.stop_gradient(out2)
-            return model.ib_reg * (
-                model.loss_graphcl(v1, det1, batch.users, batch.pos_items, w)
-                + model.loss_graphcl(v2, det2, batch.users, batch.pos_items,
-                                     w))
-
-        l2, g = jax.value_and_grad(loss2)(params)
-        upd, o = opt.update(g, o, params)
-        params = optax.apply_updates(params, upd)
-
-        def loss3(pp):
-            x = model.forward_graphcl(pp)
-            xu, xi = x[: model.num_user], x[model.num_user:]
-            uu = xu[batch.users]
-            ppos = xi[batch.pos_items]
-            nneg = xi[batch.neg_items]
-            bpr = bpr_loss(jnp.sum(uu * ppos, 1), jnp.sum(uu * nneg, 1),
-                           w, eps=1e-5)
-            reg = emb_l2_reg(
-                model.reg_weight,
-                (pp["uEmbeds"][batch.users], pp["iEmbeds"][batch.pos_items],
-                 pp["iEmbeds"][batch.neg_items]), w)
-            return bpr + reg + model.g1_loss(pp, batch, k1) + model.g2_loss(
-                pp, batch, k2)
-
-        l3, g = jax.value_and_grad(loss3)(params)
-        upd, o = opt.update(g, o, params)
-        params = optax.apply_updates(params, upd)
-        upd, o1 = opt_g1.update(g, o1, params)
-        params = optax.apply_updates(params, upd)
-        upd, o2 = opt_g2.update(g, o2, params)
-        params = optax.apply_updates(params, upd)
-        return params, o, o1, o2, l1 + l2 + l3
+        return alternating_step(model, opt, opt_g1, opt_g2,
+                                params, o, o1, o2, batch, k1, k2)
 
     jitted = jax.jit(step)  # no donation: params alias model buffers
     return (
@@ -323,36 +262,25 @@ def make_sharded_adagcl_step(model, mesh: Mesh, lr: float):
 
 def make_sharded_grade_step(model, mesh: Mesh, lr: float):
     """One sharded GRADE 3-loss / 4-optimizer step (reference loop
-    train_and_evaluate.py:259-284; optimizer split as in models/grade.py
-    GradeTrainer: main Adam twice, then three generator Adams on the
-    shared gen_loss gradient). Returns ``(step, opt, opt_gens)`` with
-    ``step(params, o, (o1, o2, o3), batch, rng) -> (params, o, gens,
-    loss)``."""
+    train_and_evaluate.py:259-284). The step body IS
+    models/grade.grade_step — shared with the whole-epoch scan trainer.
+    Returns ``(step, opt, opt_gens)`` with ``step(params, o, (o1, o2,
+    o3), batch, rng) -> (params, o, gens, loss)``."""
+    from chaorec_tpu.models.adagcl import generator_labels
+    from chaorec_tpu.models.grade import grade_step
+
     opt = optax.adam(lr)
     opt_gens = tuple(
         optax.multi_transform(
             {"g": optax.adam(lr), "f": optax.set_to_zero()},
-            _prefix_labels(model, f"g{i}_"))
+            generator_labels(model, f"g{i}_"))
         for i in (1, 2, 3)
     )
 
     def step(model, params, o, gens, batch, rng):
-        o1, o2, o3 = gens
         k1, k3 = jax.random.split(rng)
-        l1, g = jax.value_and_grad(model.loss_1)(params, batch, k1)
-        upd, o = opt.update(g, o, params)
-        params = optax.apply_updates(params, upd)
-        l2, g = jax.value_and_grad(model.bpr_reg_loss)(params, batch)
-        upd, o = opt.update(g, o, params)
-        params = optax.apply_updates(params, upd)
-        l3, g = jax.value_and_grad(model.gen_loss)(params, batch, k3)
-        upd, o1 = opt_gens[0].update(g, o1, params)
-        params = optax.apply_updates(params, upd)
-        upd, o2 = opt_gens[1].update(g, o2, params)
-        params = optax.apply_updates(params, upd)
-        upd, o3 = opt_gens[2].update(g, o3, params)
-        params = optax.apply_updates(params, upd)
-        return params, o, (o1, o2, o3), l1 + l2 + l3
+        return grade_step(model, opt, opt_gens, params, o, gens, batch,
+                          k1, k3)
 
     jitted = jax.jit(step)
     return (
@@ -452,6 +380,28 @@ def make_sharded_gformer_step(model, mesh: Mesh, lr: float):
     )
 
 
+def _rank_scores_chunk(model, params, model_state, uids, hist,
+                       topk: int, num_user: int, mask_value: float,
+                       stateful: bool):
+    if stateful:
+        scores = model.score_users_stateful(params, model_state, uids)
+    else:
+        scores = model.score_users(params, uids)
+    from chaorec_tpu.eval.ranking import mask_and_topk
+
+    return mask_and_topk(scores, hist, topk=topk, num_user=num_user,
+                         mask_value=mask_value)
+
+
+# module-level jit so repeated per-epoch eval calls hit the pjit cache
+# (a per-call closure would retrace+recompile the catalog-sized sharded
+# ranking program every epoch); output sharding follows the row-sharded
+# uids/hist inputs
+_rank_scores_jit = jax.jit(
+    _rank_scores_chunk,
+    static_argnames=("topk", "num_user", "mask_value", "stateful"))
+
+
 def sharded_rank_scores(model, params, history_values, num_user: int,
                         topk: int, mesh: Mesh, model_state=None,
                         mask_value: float = 1e-6):
@@ -461,8 +411,6 @@ def sharded_rank_scores(model, params, history_values, num_user: int,
     ``score_users`` and applies the reference masking + top-k
     (eval/ranking.mask_and_topk semantics — 1e-6 or -inf per model).
     The (U, I) score matrix only ever exists as per-device shards."""
-    from chaorec_tpu.eval.ranking import mask_and_topk
-
     n = mesh.devices.size
     pad = (-num_user) % n
     uids = jnp.concatenate(
@@ -478,16 +426,11 @@ def sharded_rank_scores(model, params, history_values, num_user: int,
     uids = jax.device_put(uids, vec_sh)
     hist = jax.device_put(hist, row_sh)
 
-    def rank(model, params, model_state, uids, hist):
-        if model.stateful and hasattr(model, "score_users_stateful"):
-            scores = model.score_users_stateful(params, model_state, uids)
-        else:
-            scores = model.score_users(params, uids)
-        return mask_and_topk(scores, hist, topk=topk, num_user=num_user,
-                             mask_value=mask_value)
-
-    ranked = jax.jit(rank, out_shardings=row_sh)(
-        model, params, model_state, uids, hist)
+    stateful = bool(model.stateful
+                    and hasattr(model, "score_users_stateful"))
+    ranked = _rank_scores_jit(model, params, model_state, uids, hist,
+                              topk=topk, num_user=num_user,
+                              mask_value=mask_value, stateful=stateful)
     return ranked[:num_user]
 
 

@@ -76,3 +76,15 @@ def test_supervisor_cli_entry(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert "supervised-ok" in out.stdout
+
+
+def test_wait_for_backend_no_pin_leaves_env_alone():
+    """The supervisor's variant: an expired wait returns None and does
+    NOT poison the environment with a cpu pin (a later attempt must
+    still be able to reach the accelerator)."""
+    before = os.environ.get("JAX_PLATFORMS")
+    got = wait_for_backend(max_wait_s=0, probe_timeout_s=300,
+                           accept_cpu=False, pin_cpu_on_expiry=False,
+                           log=lambda m: None)
+    assert got is None
+    assert os.environ.get("JAX_PLATFORMS") == before
