@@ -19,6 +19,11 @@ from chaorec_tpu.models.base import Batch, Params, RecModel  # noqa: F401
 
 MODEL_REGISTRY: Dict[str, Callable[[Config, RecDataset], RecModel]] = {}
 
+# Re-export: the whitelist lives next to the pytree flatten rule it
+# modifies (models/base.py) — continuous hyperparameters flatten as
+# pytree leaves so grid combos share compiled programs.
+from chaorec_tpu.models.base import TRACED_SCALAR_ATTRS  # noqa: F401,E402
+
 
 def register_model(name: str):
     def deco(builder: Callable[[Config, RecDataset], RecModel]):

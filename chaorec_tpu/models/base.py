@@ -40,6 +40,35 @@ def _is_dynamic(v: Any) -> bool:
     )
 
 
+# Continuous loss-shaping hyperparameters that appear ONLY
+# multiplicatively in traced code (audited: no Python `if`/`int()`/shape
+# use anywhere in models/, ops/, train/ — pinned by
+# tests/test_compile_sharing.py's source guard). They flatten as pytree
+# LEAVES (kept as python scalars, so in-jit they trace WEAK-typed and
+# promotion semantics are bit-identical to the baked-constant form),
+# which makes them jit arguments instead of HLO constants: every YAML
+# grid combo differing only in these axes reuses one compiled epoch
+# program. The reference's AdaGCL grid is 96 combos of which only
+# n_layers∈{1,2} is structural — 2 XLA compiles instead of 96 at 5-25
+# min per remote compile. Structural knobs (n_layers, dims, topk,
+# steps, dropout's <=0 gate, HCCF's keep_rate>=1 gate) stay static.
+TRACED_SCALAR_ATTRS = frozenset({
+    "reg_weight", "ssl_alpha", "ssl_temp", "ssl_temp2", "cl_weight",
+    "ib_reg", "noise_alpha", "G_rate", "e_loss", "ris_lambda", "b2",
+    "ctra", "cen_reg", "corDecay", "um_loss", "vt_loss", "align_weight",
+    "mult", "leaky", "idl_beta", "gamma", "t", "lambda_coeff", "beta1",
+    "beta2", "ae_weight", "neg_weight", "tau", "beta",
+    # per-model aliases of the same config axes
+    "ssl_reg", "lambda_1", "lambda_2", "temp", "temp_node", "alpha",
+    "cl_rate", "kl_weight",
+})
+
+
+def _is_traced_scalar(k: str, v: Any) -> bool:
+    return (k in TRACED_SCALAR_ATTRS and isinstance(v, (int, float))
+            and not isinstance(v, bool))
+
+
 class Batch(NamedTuple):
     """One training micro-batch; all shapes static.
 
@@ -82,7 +111,7 @@ class RecModel:
         def flatten(self):
             dyn_names, dyn_vals, static = [], [], []
             for k, v in sorted(vars(self).items()):
-                if _is_dynamic(v):
+                if _is_dynamic(v) or _is_traced_scalar(k, v):
                     dyn_names.append(k)
                     dyn_vals.append(v)
                 else:

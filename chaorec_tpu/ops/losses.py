@@ -104,7 +104,9 @@ def catalog_logsumexp(q: jnp.ndarray, k: jnp.ndarray,
     from chaorec_tpu.ops.pallas_lse import (streaming_logsumexp,
                                             use_pallas_lse)
 
-    qs = q if temperature == 1.0 else q / temperature
+    # always divide: temperature may be a traced scalar (grid-stable
+    # compiles); XLA folds the /1.0 case when it is a constant
+    qs = q / temperature
     if use_pallas_lse(q.shape[0], k.shape[0]):
         return streaming_logsumexp(qs, k)
     return jax.nn.logsumexp(

@@ -129,9 +129,16 @@ class Trainer:
         return self._seen_mask_cache
 
     def make_optimizer(self) -> optax.GradientTransformation:
-        """Adam with torch defaults (main.py:397)."""
-        labels = None
-        return optax.adam(self.cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        """Adam with torch defaults (main.py:397).
+
+        The learning rate rides the opt_state as a traced leaf
+        (``optax.inject_hyperparams``) instead of a baked HLO constant,
+        so YAML grid combos that differ only in learning_rate reuse one
+        compiled epoch program (same math — inject_hyperparams only
+        moves where the scalar lives)."""
+        return optax.inject_hyperparams(optax.adam)(
+            learning_rate=jnp.float32(self.cfg.learning_rate),
+            b1=0.9, b2=0.999, eps=1e-8)
 
     def init_opt_state(self, params):
         """Optimizer state; composite when the model declares row-sparse
