@@ -23,6 +23,7 @@ metrics.
 
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from functools import partial
@@ -77,6 +78,110 @@ def _log_metric_tables(val_metrics, test_metrics) -> None:
     for k, metrics in test_metrics.items():
         metrics_strs = [f"{metric}: {value:.5f}" for metric, value in metrics.items()]
         logging.info(f"{k}: {' | '.join(metrics_strs)}")
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_inject_adam(lr: float, b1: float = 0.9, b2: float = 0.999,
+                        eps: float = 1e-8) -> optax.GradientTransformation:
+    """One Adam instance per hyperparameter tuple: the learning rate is
+    an opt_state leaf (inject_hyperparams), and sharing the instance
+    keeps the jitted epoch program's cache key stable across Trainer
+    instances (grid combos) in one process. The lr is passed as a
+    python float so every ``init`` materializes a FRESH state buffer —
+    a captured jnp scalar would be donated away by the first epoch
+    (donate_argnums) and poison every later ``init``."""
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr, b1=b1, b2=b2, eps=eps)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_epoch(optimizer, batch_size: int, neg_candidates: int,
+                  table_lr: float):
+    """The jitted whole-epoch scan, memoized at module level so grid
+    combos in one process share BOTH the python function identity (jit
+    cache hits skip retracing entirely) and — via the model-pytree
+    traced hyperparameters and the opt_state-resident learning rate —
+    the compiled XLA program. All per-model branch decisions (stateful,
+    row-sparse tables, user-rows mode, MCLN's interest items) read the
+    model's STATIC pytree attributes at trace time, so one factory
+    serves every model; the jit cache distinguishes model structures by
+    treedef."""
+    from chaorec_tpu.ops.indexed_adam import (
+        table_adam_update as row_adam_update,
+    )
+
+    def epoch(model, params, opt_state, mstate, rng, edges, history):
+        stateful = model.stateful
+        table_names = tuple(model.table_params)
+        user_rows = getattr(model, "trainer_mode", "bpr") == "user_rows"
+        num_item = model.num_item
+        rng, shuffle_rng = jax.random.split(rng)
+        users, pos, weights, _ = make_epoch_batches(
+            shuffle_rng, edges, batch_size
+        )
+
+        def step(carry, xs):
+            params, opt_state, mstate, rng = carry
+            u, p, w, idx = xs
+            rng, neg_rng, int_rng, loss_rng = jax.random.split(rng, 4)
+            if user_rows:
+                neg = p
+            else:
+                neg = sample_negatives(
+                    neg_rng, u, history, num_item, neg_candidates
+                )
+            int_items = None
+            if getattr(model, "needs_int_items", False):
+                int_items = sample_negatives(
+                    int_rng, u, history, num_item, neg_candidates
+                )
+            batch = Batch(u, p, neg, w, idx, int_items)
+            if table_names:
+                # Row-sparse tables: gradients only for the gathered
+                # rows (the dense table gradient never exists), exact
+                # row-sparse Adam for the table update.
+                adam_state, table_state, count = opt_state
+                dense = {k: v for k, v in params.items()
+                         if k not in table_names}
+                rows = model.table_rows(batch)
+                gathered = {n: params[n][rows[n]] for n in table_names}
+                loss, (g_dense, g_rows) = jax.value_and_grad(
+                    model.loss_tables, argnums=(0, 1)
+                )(dense, gathered, batch, loss_rng)
+                updates, adam_state = optimizer.update(
+                    g_dense, adam_state, dense)
+                dense = optax.apply_updates(dense, updates)
+                count = count + 1
+                new_tables = {}
+                new_tstate = {}
+                for n in table_names:
+                    new_tables[n], new_tstate[n] = row_adam_update(
+                        params[n], table_state[n], rows[n], g_rows[n],
+                        count, table_lr)
+                params = {**dense, **new_tables}
+                opt_state = (adam_state, new_tstate, count)
+            elif stateful:
+                (loss, mstate), grads = jax.value_and_grad(
+                    model.loss_stateful, has_aux=True
+                )(params, mstate, batch, loss_rng)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+            else:
+                loss, grads = jax.value_and_grad(model.loss)(
+                    params, batch, loss_rng
+                )
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+            return (params, opt_state, mstate, rng), loss
+
+        (params, opt_state, mstate, rng), losses = jax.lax.scan(
+            step, (params, opt_state, mstate, rng),
+            (users, pos, weights,
+             jnp.arange(users.shape[0], dtype=jnp.int32)),
+        )
+        return params, opt_state, mstate, rng, jnp.sum(losses)
+
+    return jax.jit(epoch, donate_argnums=(1, 2))
 
 
 class Trainer:
@@ -135,10 +240,10 @@ class Trainer:
         (``optax.inject_hyperparams``) instead of a baked HLO constant,
         so YAML grid combos that differ only in learning_rate reuse one
         compiled epoch program (same math — inject_hyperparams only
-        moves where the scalar lives)."""
-        return optax.inject_hyperparams(optax.adam)(
-            learning_rate=jnp.float32(self.cfg.learning_rate),
-            b1=0.9, b2=0.999, eps=1e-8)
+        moves where the scalar lives). Memoized: same-hyperparameter
+        Trainers (grid combos in one process) share the instance, which
+        keeps the jitted epoch's identity stable (see _jitted_epoch)."""
+        return _shared_inject_adam(float(self.cfg.learning_rate))
 
     def init_opt_state(self, params):
         """Optimizer state; composite when the model declares row-sparse
@@ -158,94 +263,18 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build_epoch_fn(self) -> Callable:
         cfg = self.cfg
-        num_item = self.dataset.num_item
-        optimizer = self.optimizer
-
-        stateful = self.model.stateful
-        table_names = tuple(self.model.table_params)
-        if table_names:
-            from chaorec_tpu.ops.indexed_adam import (
-                table_adam_update as row_adam_update,
-            )
         # "user_rows" models (VAE/diffusion) iterate shuffled users; the
         # reference feeds them dense rows via DiffusionData loaders
         # (main.py:202-218) instead of BPR triples.
-        user_rows = getattr(self.model, "trainer_mode", "bpr") == "user_rows"
-        if user_rows:
+        if getattr(self.model, "trainer_mode", "bpr") == "user_rows":
             n_u = self.dataset.num_user
             self.edges = jnp.stack(
                 [jnp.arange(n_u, dtype=jnp.int32),
                  jnp.zeros((n_u,), jnp.int32)], axis=1,
             )
-
-        def epoch(model, params, opt_state, mstate, rng, edges, history):
-            rng, shuffle_rng = jax.random.split(rng)
-            users, pos, weights, _ = make_epoch_batches(
-                shuffle_rng, edges, cfg.batch_size
-            )
-
-            def step(carry, xs):
-                params, opt_state, mstate, rng = carry
-                u, p, w, idx = xs
-                rng, neg_rng, int_rng, loss_rng = jax.random.split(rng, 4)
-                if user_rows:
-                    neg = p
-                else:
-                    neg = sample_negatives(
-                        neg_rng, u, history, num_item, cfg.neg_candidates
-                    )
-                int_items = None
-                if getattr(model, "needs_int_items", False):
-                    int_items = sample_negatives(
-                        int_rng, u, history, num_item, cfg.neg_candidates
-                    )
-                batch = Batch(u, p, neg, w, idx, int_items)
-                if table_names:
-                    # Row-sparse tables: gradients only for the gathered
-                    # rows (the dense table gradient never exists), exact
-                    # row-sparse Adam for the table update.
-                    adam_state, table_state, count = opt_state
-                    dense = {k: v for k, v in params.items()
-                             if k not in table_names}
-                    rows = model.table_rows(batch)
-                    gathered = {n: params[n][rows[n]] for n in table_names}
-                    loss, (g_dense, g_rows) = jax.value_and_grad(
-                        model.loss_tables, argnums=(0, 1)
-                    )(dense, gathered, batch, loss_rng)
-                    updates, adam_state = optimizer.update(
-                        g_dense, adam_state, dense)
-                    dense = optax.apply_updates(dense, updates)
-                    count = count + 1
-                    new_tables = {}
-                    new_tstate = {}
-                    for n in table_names:
-                        new_tables[n], new_tstate[n] = row_adam_update(
-                            params[n], table_state[n], rows[n], g_rows[n],
-                            count, cfg.learning_rate)
-                    params = {**dense, **new_tables}
-                    opt_state = (adam_state, new_tstate, count)
-                elif stateful:
-                    (loss, mstate), grads = jax.value_and_grad(
-                        model.loss_stateful, has_aux=True
-                    )(params, mstate, batch, loss_rng)
-                    updates, opt_state = optimizer.update(grads, opt_state, params)
-                    params = optax.apply_updates(params, updates)
-                else:
-                    loss, grads = jax.value_and_grad(model.loss)(
-                        params, batch, loss_rng
-                    )
-                    updates, opt_state = optimizer.update(grads, opt_state, params)
-                    params = optax.apply_updates(params, updates)
-                return (params, opt_state, mstate, rng), loss
-
-            (params, opt_state, mstate, rng), losses = jax.lax.scan(
-                step, (params, opt_state, mstate, rng),
-                (users, pos, weights,
-                 jnp.arange(users.shape[0], dtype=jnp.int32)),
-            )
-            return params, opt_state, mstate, rng, jnp.sum(losses)
-
-        jitted = jax.jit(epoch, donate_argnums=(1, 2))
+        jitted = _jitted_epoch(self.optimizer, int(cfg.batch_size),
+                               int(cfg.neg_candidates),
+                               float(cfg.learning_rate))
         return lambda params, opt_state, rng: jitted(
             self.model, params, opt_state, self.model_state, rng,
             self.edges, self.history,

@@ -2,8 +2,9 @@
 one compiled epoch program.
 
 Continuous loss-shaping scalars (reg_weight, ssl_alpha, ssl_temp, ...)
-ride the model pytree as 0-d jnp leaves (models/__init__.py
-TRACED_SCALAR_ATTRS) and the learning rate rides the opt_state
+flatten as model-pytree leaves (models/base.py TRACED_SCALAR_ATTRS —
+kept as python floats so they trace weak-typed, preserving bf16
+promotion) and the learning rate rides the opt_state
 (optax.inject_hyperparams), so they are jit ARGUMENTS, not baked HLO
 constants. The reference's AdaGCL grid is 96 combos of which only
 n_layers∈{1,2} is structural — 2 XLA compiles instead of 96 at 5-25 min
@@ -136,3 +137,36 @@ def test_whitelist_attrs_have_no_python_control_flow():
             if pat.search(line):
                 offenders.append(f"{f.name}:{i}: {line.strip()}")
     assert not offenders, offenders
+
+
+def test_epoch_fn_shared_across_grid_combos(tiny_dataset):
+    """In one process (the CLI grid loop), two combos differing only in
+    reg_weight share the optimizer instance, the jitted epoch function
+    identity, AND the trace itself (cache size stays 1 after both run)."""
+    from chaorec_tpu.train.loop import Trainer, _jitted_epoch
+
+    ds = tiny_dataset
+    cfgA = Config(Model="BPR", batch_size=64, dim_E=16, learning_rate=0.05,
+                  reg_weight=1e-4, num_epoch=1, patience=1)
+    cfgB = cfgA.replace(reg_weight=1e-2)
+
+    def one_epoch(cfg):
+        m = build_model(cfg, ds)
+        tr = Trainer(m, ds, cfg)
+        p = m.init_params(jax.random.PRNGKey(0))
+        o = tr.init_opt_state(p)
+        tr.train_epoch(p, o, jax.random.PRNGKey(1), 0)
+        return tr
+
+    trA = one_epoch(cfgA)
+    factory_before = _jitted_epoch.cache_info().currsize
+    jitted = _jitted_epoch(trA.optimizer, 64,
+                           int(cfgA.neg_candidates),
+                           float(cfgA.learning_rate))
+    traces_before = jitted._cache_size()
+    trB = one_epoch(cfgB)
+    assert trA.optimizer is trB.optimizer
+    # same factory entry, and combo B added NO new trace (identical
+    # treedef + shapes ride through combo A's cached program)
+    assert _jitted_epoch.cache_info().currsize == factory_before
+    assert jitted._cache_size() == traces_before
