@@ -64,9 +64,9 @@ TRACED_SCALAR_ATTRS = frozenset({
 })
 
 
-def _is_traced_scalar(k: str, v: Any) -> bool:
-    return (k in TRACED_SCALAR_ATTRS and isinstance(v, (int, float))
-            and not isinstance(v, bool))
+def _is_traced_scalar(k: str, v: Any, extras=frozenset()) -> bool:
+    return ((k in TRACED_SCALAR_ATTRS or k in extras)
+            and isinstance(v, (int, float)) and not isinstance(v, bool))
 
 
 class Batch(NamedTuple):
@@ -108,10 +108,15 @@ class RecModel:
     def __init_subclass__(cls, **kwargs):
         super().__init_subclass__(**kwargs)
 
+        # models whose use of a name is gate-free may trace extra
+        # scalars (e.g. BM3's dropout: pure bernoulli p, while
+        # DHCF/SMORE/FREEDOM/... branch on dropout>0 structurally)
+        extras = frozenset(getattr(cls, "extra_traced_scalars", ()))
+
         def flatten(self):
             dyn_names, dyn_vals, static = [], [], []
             for k, v in sorted(vars(self).items()):
-                if _is_dynamic(v) or _is_traced_scalar(k, v):
+                if _is_dynamic(v) or _is_traced_scalar(k, v, extras):
                     dyn_names.append(k)
                     dyn_vals.append(v)
                 else:

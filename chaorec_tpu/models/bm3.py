@@ -27,6 +27,10 @@ from chaorec_tpu.ops.losses import l2norm, masked_mean
 
 class BM3(RecModel):
     name = "BM3"
+    # dropout here is a pure bernoulli keep-probability (no >0 gate), so
+    # it traces like the other continuous axes — the shipped grid sweeps
+    # 5 dropout values that now share one compiled epoch program
+    extra_traced_scalars = frozenset({"dropout"})
 
     def __init__(self, num_user, num_item, graph: BipartiteGraph, v_feat,
                  t_feat, dim_E, feat_E, reg_weight, dropout, n_layers, cl_weight):

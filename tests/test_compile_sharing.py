@@ -170,3 +170,33 @@ def test_epoch_fn_shared_across_grid_combos(tiny_dataset):
     # treedef + shapes ride through combo A's cached program)
     assert _jitted_epoch.cache_info().currsize == factory_before
     assert jitted._cache_size() == traces_before
+
+
+def test_bm3_dropout_axis_traces(tiny_dataset):
+    """BM3 opts its gate-free dropout into the traced set: two dropout
+    values share the jaxpr; DHCF (which branches on dropout > 0) keeps
+    it static."""
+    from chaorec_tpu.models import build_model
+
+    kwargs = dict(dim_E=16, n_layers=1, learning_rate=1e-3,
+                  reg_weight=0.1, cl_weight=2.0)
+    mA = build_model(Config(Model="BM3", dropout=0.3, **kwargs),
+                     tiny_dataset)
+    mB = build_model(Config(Model="BM3", dropout=0.5, **kwargs),
+                     tiny_dataset)
+    assert (jax.tree_util.tree_structure(mA)
+            == jax.tree_util.tree_structure(mB))
+
+    d1 = build_model(Config(Model="DHCF", dim_E=16, n_layers=1,
+                            learning_rate=1e-3, reg_weight=1e-4,
+                            dropout=0.1), tiny_dataset)
+    assert isinstance(vars(d1)["dropout"], float)
+    # DHCF's dropout stays in the static aux (no pytree leaf)
+    names = [k for k, v in sorted(vars(d1).items())]
+    leaves, treedef = jax.tree_util.tree_flatten(d1)
+    assert len(leaves) < len(names)  # sanity: aux exists
+    d2 = build_model(Config(Model="DHCF", dim_E=16, n_layers=1,
+                            learning_rate=1e-3, reg_weight=1e-4,
+                            dropout=0.2), tiny_dataset)
+    assert (jax.tree_util.tree_structure(d1)
+            != jax.tree_util.tree_structure(d2))
