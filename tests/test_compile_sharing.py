@@ -200,3 +200,34 @@ def test_bm3_dropout_axis_traces(tiny_dataset):
                             dropout=0.2), tiny_dataset)
     assert (jax.tree_util.tree_structure(d1)
             != jax.tree_util.tree_structure(d2))
+
+
+def test_family_model_combos_share_structure(tiny_dataset):
+    """The family-trainer models' continuous grid axes are traced too:
+    AdaGCL's 96-combo reference grid (n_layers x lr x reg x ssl_alpha x
+    ssl_temp) collapses to its 2 structural n_layers values — combos
+    differing only in the continuous axes share the model treedef, so
+    their whole-epoch scans lower to the same HLO (the persistent
+    compilation cache dedupes the 5-25 min remote compiles)."""
+    ds = tiny_dataset
+
+    def ada(reg, alpha, temp):
+        return build_model(
+            Config(Model="AdaGCL", dim_E=16, n_layers=2, learning_rate=1e-3,
+                   reg_weight=reg, ssl_alpha=alpha, ssl_temp=temp), ds)
+
+    a1 = ada(0.1, 0.1, 0.1)
+    a2 = ada(0.001, 1.0, 0.5)
+    assert (jax.tree_util.tree_structure(a1)
+            == jax.tree_util.tree_structure(a2))
+
+    def hccf(reg, alpha, temp, leaky, mult):
+        return build_model(
+            Config(Model="HCCF", dim_E=16, n_layers=2, learning_rate=1e-3,
+                   reg_weight=reg, ssl_alpha=alpha, ssl_temp=temp,
+                   leaky=leaky, keepRate=1.0, mult=mult), ds)
+
+    h1 = hccf(1e-5, 0.1, 0.5, 0.5, 0.01)
+    h2 = hccf(1e-3, 1.0, 0.1, 1.0, 0.10)
+    assert (jax.tree_util.tree_structure(h1)
+            == jax.tree_util.tree_structure(h2))
