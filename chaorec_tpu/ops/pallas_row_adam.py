@@ -161,7 +161,7 @@ def fused_row_adam(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             out_spec, out_spec, out_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(
