@@ -54,13 +54,14 @@ def _is_dynamic(v: Any) -> bool:
 # steps, dropout's <=0 gate, HCCF's keep_rate>=1 gate) stay static.
 TRACED_SCALAR_ATTRS = frozenset({
     "reg_weight", "ssl_alpha", "ssl_temp", "ssl_temp2", "cl_weight",
-    "ib_reg", "noise_alpha", "G_rate", "e_loss", "ris_lambda", "b2",
-    "ctra", "cen_reg", "corDecay", "um_loss", "vt_loss", "align_weight",
+    "noise_alpha", "G_rate", "e_loss", "ris_lambda", "b2",
+    "ctra", "cen_reg", "align_weight",
     "mult", "leaky", "idl_beta", "gamma", "t", "lambda_coeff", "beta1",
-    "beta2", "ae_weight", "neg_weight", "tau", "beta",
-    # per-model aliases of the same config axes
+    "beta2", "neg_weight", "tau", "beta",
+    # per-model aliases of the same config axes (names as models
+    # actually store them — pinned by tests/test_compile_sharing.py)
     "ssl_reg", "lambda_1", "lambda_2", "temp", "temp_node", "alpha",
-    "cl_rate", "kl_weight",
+    "cl_rate", "kl_weight", "um_loss_w", "vt_loss_w", "cor_decay",
 })
 
 
@@ -116,9 +117,16 @@ class RecModel:
         def flatten(self):
             dyn_names, dyn_vals, static = [], [], []
             for k, v in sorted(vars(self).items()):
-                if _is_dynamic(v) or _is_traced_scalar(k, v, extras):
+                if _is_dynamic(v):
                     dyn_names.append(k)
                     dyn_vals.append(v)
+                elif _is_traced_scalar(k, v, extras):
+                    dyn_names.append(k)
+                    # coerce int grid points (YAML "ssl_alpha: [1]") to
+                    # float so every combo's leaf has the same weak-f32
+                    # aval — an i32 leaf would lower to different HLO
+                    # and silently split the shared compile
+                    dyn_vals.append(float(v))
                 else:
                     static.append((k, v))
             return tuple(dyn_vals), (tuple(dyn_names), tuple(static))

@@ -81,17 +81,34 @@ def _log_metric_tables(val_metrics, test_metrics) -> None:
 
 
 @functools.lru_cache(maxsize=None)
-def _shared_inject_adam(lr: float, b1: float = 0.9, b2: float = 0.999,
+def _shared_inject_adam(b1: float = 0.9, b2: float = 0.999,
                         eps: float = 1e-8) -> optax.GradientTransformation:
-    """One Adam instance per hyperparameter tuple: the learning rate is
-    an opt_state leaf (inject_hyperparams), and sharing the instance
-    keeps the jitted epoch program's cache key stable across Trainer
-    instances (grid combos) in one process. The lr is passed as a
-    python float so every ``init`` materializes a FRESH state buffer —
-    a captured jnp scalar would be donated away by the first epoch
-    (donate_argnums) and poison every later ``init``."""
+    """One lr-AGNOSTIC Adam instance: the learning rate is an opt_state
+    leaf (inject_hyperparams) written in by ``Trainer.init_opt_state``,
+    so grid combos differing only in learning_rate share the optimizer
+    identity, the jitted epoch function, the trace, AND the compile.
+    The construction-time placeholder is NaN — if any code path ever
+    initializes state without the lr fixup, training diverges loudly on
+    step one instead of silently running at a wrong rate. Hyperparams
+    stay python floats so every ``init`` materializes FRESH state
+    buffers — a captured jnp scalar would be donated away by the first
+    epoch (donate_argnums) and poison every later ``init``."""
     return optax.inject_hyperparams(optax.adam)(
-        learning_rate=lr, b1=b1, b2=b2, eps=eps)
+        learning_rate=float("nan"), b1=b1, b2=b2, eps=eps)
+
+
+def _set_injected_lr(opt_state, lr: float):
+    """Write the real learning rate into every injected-hyperparams
+    ``learning_rate`` leaf, wherever it sits in the state pytree (family
+    trainers wrap the shared Adam in multi_transform, nesting the
+    InjectHyperparams state)."""
+
+    def fix(path, leaf):
+        if any(getattr(p, "key", None) == "learning_rate" for p in path):
+            return jnp.asarray(lr, jnp.float32)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, opt_state)
 
 
 @functools.lru_cache(maxsize=64)
@@ -243,19 +260,22 @@ class Trainer:
         moves where the scalar lives). Memoized: same-hyperparameter
         Trainers (grid combos in one process) share the instance, which
         keeps the jitted epoch's identity stable (see _jitted_epoch)."""
-        return _shared_inject_adam(float(self.cfg.learning_rate))
+        return _shared_inject_adam()
 
     def init_opt_state(self, params):
         """Optimizer state; composite when the model declares row-sparse
-        table params: (adam_state_over_dense, {table: (m, v)}, count)."""
+        table params: (adam_state_over_dense, {table: (m, v)}, count).
+        The real learning rate is written into the injected-hyperparams
+        leaves here (the shared optimizer is constructed lr-agnostic)."""
+        lr = float(self.cfg.learning_rate)
         table_names = tuple(self.model.table_params)
         if not table_names:
-            return self.optimizer.init(params)
+            return _set_injected_lr(self.optimizer.init(params), lr)
         from chaorec_tpu.ops.indexed_adam import init_table_state
 
         dense = {k: v for k, v in params.items() if k not in table_names}
         return (
-            self.optimizer.init(dense),
+            _set_injected_lr(self.optimizer.init(dense), lr),
             {n: init_table_state(params[n]) for n in table_names},
             jnp.zeros((), jnp.int32),
         )
@@ -400,7 +420,18 @@ class Trainer:
                         "mstate": self.model_state, "rng": rng,
                         "es": {"best_score": jnp.zeros(()),
                                "counter": jnp.zeros((), jnp.int32)}}
-                tree, metrics = ckpt.restore(latest, like)
+                try:
+                    tree, metrics = ckpt.restore(latest, like)
+                except Exception as e:
+                    # most common cause: checkpoint written under a
+                    # different optimizer-state schema (e.g. pre-
+                    # inject_hyperparams opt states lack the lr leaf)
+                    raise RuntimeError(
+                        f"checkpoint at {cfg.checkpoint_dir} (step "
+                        f"{latest}) does not match the current "
+                        "optimizer/state schema — restart with a fresh "
+                        "--checkpoint_dir or delete the stale checkpoint"
+                    ) from e
                 params = tree["params"]
                 opt_state = tree["opt_state"]
                 self.model_state = tree["mstate"]

@@ -120,22 +120,51 @@ def test_traced_values_still_reach_the_loss(tiny_dataset):
 
 
 def test_whitelist_attrs_have_no_python_control_flow():
-    """Source guard: no model may branch on a traced scalar attr — that
-    would throw a TracerBoolConversionError at runtime for pytree-arg
-    models; keep the whitelist multiplicative-only."""
+    """Source guard: no traced scalar attr may feed Python control flow
+    or a static-int context — that raises Tracer*Error at runtime only
+    for the affected model/combo. Scans models/, ops/, train/ for
+    branch (`if`/`while`/ternary/and/or), `int()`, `range()`, and
+    `round()` uses of every whitelisted name, including per-class
+    extra_traced_scalars. (Scalars that arrive as plain function
+    PARAMETERS — e.g. a `temperature` argument — cannot be guarded by
+    name here; keep such helpers branch-free, as
+    ops/losses.catalog_logsumexp is.)"""
     import re
     from pathlib import Path
 
     import chaorec_tpu.models as mpkg
+    from chaorec_tpu.models.base import RecModel
 
-    pat = re.compile(
-        r"if\s+[^:\n]*self\.(" + "|".join(sorted(TRACED_SCALAR_ATTRS))
-        + r")\b")
+    import sys
+
+    import chaorec_tpu.models.builders  # noqa: F401 — populate subclasses
+
+    def patterns(attr_names):
+        alt = "|".join(sorted(attr_names))
+        return [
+            re.compile(r"\b(if|while|elif|assert)\s+[^:\n]*self\.(" + alt + r")\b"),
+            re.compile(r"\b(int|range|round|bool)\(\s*self\.(" + alt + r")\b"),
+            re.compile(r"self\.(" + alt + r")\s+(and|or)\s"),
+        ]
+
+    def scan(path, pats, offenders, label):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if any(p.search(line) for p in pats):
+                offenders.append(f"{label}:{i}: {line.strip()}")
+
     offenders = []
-    for f in Path(mpkg.__path__[0]).glob("*.py"):
-        for i, line in enumerate(f.read_text().splitlines(), 1):
-            if pat.search(line):
-                offenders.append(f"{f.name}:{i}: {line.strip()}")
+    pkg_root = Path(mpkg.__path__[0]).parent
+    global_pats = patterns(TRACED_SCALAR_ATTRS)
+    for sub in ("models", "ops", "train"):
+        for f in (pkg_root / sub).glob("*.py"):
+            scan(f, global_pats, offenders, f"{sub}/{f.name}")
+    # per-class extras are traced only for the declaring class: check
+    # just its defining module
+    for cls in RecModel.__subclasses__():
+        extras = getattr(cls, "extra_traced_scalars", None)
+        if extras:
+            f = Path(sys.modules[cls.__module__].__file__)
+            scan(f, patterns(extras), offenders, f.name)
     assert not offenders, offenders
 
 
@@ -231,3 +260,82 @@ def test_family_model_combos_share_structure(tiny_dataset):
     h2 = hccf(1e-3, 1.0, 0.1, 1.0, 0.10)
     assert (jax.tree_util.tree_structure(h1)
             == jax.tree_util.tree_structure(h2))
+
+
+def test_lr_axis_shares_trace_and_takes_effect(tiny_dataset):
+    """Combos differing ONLY in learning_rate share the optimizer
+    instance and the trace (the lr is written into opt_state at init —
+    the shared optimizer itself is lr-agnostic with a NaN placeholder,
+    so a missed fixup would blow up loudly here)."""
+    from chaorec_tpu.train.loop import Trainer, _jitted_epoch
+
+    ds = tiny_dataset
+    cfgA = Config(Model="BPR", batch_size=64, dim_E=16, learning_rate=0.05,
+                  reg_weight=1e-4)
+    cfgB = cfgA.replace(learning_rate=0.001)
+
+    def one_epoch(cfg):
+        m = build_model(cfg, ds)
+        tr = Trainer(m, ds, cfg)
+        p0 = m.init_params(jax.random.PRNGKey(0))
+        o = tr.init_opt_state(p0)
+        # the injected leaf carries the combo's real lr
+        np.testing.assert_allclose(float(o.hyperparams["learning_rate"]),
+                                   cfg.learning_rate, rtol=1e-6)
+        p0 = m.init_params(jax.random.PRNGKey(0))  # fresh (donated)
+        o = tr.init_opt_state(p0)
+        p1, _, _, _ = tr.train_epoch(p0, o, jax.random.PRNGKey(1), 0)
+        flat = np.concatenate([np.ravel(x) for x in
+                               jax.tree_util.tree_leaves(p1)])
+        assert np.all(np.isfinite(flat))  # NaN placeholder never leaks
+        return tr, flat
+
+    trA, pA = one_epoch(cfgA)
+    jitted = _jitted_epoch(trA.optimizer, 64, int(cfgA.neg_candidates),
+                           float(cfgA.learning_rate))
+    traces_before = jitted._cache_size()
+    trB, pB = one_epoch(cfgB)
+    assert trA.optimizer is trB.optimizer
+    assert jitted._cache_size() == traces_before  # lr-only: no retrace
+    # and the two learning rates genuinely produced different updates
+    assert not np.allclose(pA, pB)
+
+
+def test_alias_axes_really_trace(tiny_dataset):
+    """Regression for the dead-alias bug: GUME's um_loss/vt_loss and
+    DGCF's corDecay grid axes are stored under different attr names
+    (um_loss_w/vt_loss_w/cor_decay) — combos differing only in them must
+    share the treedef, and integer YAML grid points (AdaGCL's
+    ssl_alpha: 1) must coerce to float so the leaf aval is identical."""
+    ds = tiny_dataset
+
+    g1 = build_model(Config(Model="GUME", dim_E=16, n_layers=1,
+                            n_ui_layers=1, learning_rate=1e-3,
+                            um_loss=0.1, vt_loss=0.1), ds)
+    g2 = build_model(Config(Model="GUME", dim_E=16, n_layers=1,
+                            n_ui_layers=1, learning_rate=1e-3,
+                            um_loss=0.2, vt_loss=0.001), ds)
+    assert (jax.tree_util.tree_structure(g1)
+            == jax.tree_util.tree_structure(g2))
+
+    d1 = build_model(Config(Model="DGCF", dim_E=16, n_layers=1,
+                            learning_rate=1e-3, reg_weight=1e-3,
+                            corDecay=0.01, n_factors=2, n_iterations=1),
+                     ds)
+    d2 = build_model(Config(Model="DGCF", dim_E=16, n_layers=1,
+                            learning_rate=1e-3, reg_weight=1e-3,
+                            corDecay=0.0001, n_factors=2, n_iterations=1),
+                     ds)
+    assert (jax.tree_util.tree_structure(d1)
+            == jax.tree_util.tree_structure(d2))
+
+    # int vs float grid values: identical jaxpr (flatten coerces)
+    s1 = build_model(Config(Model="SGL", dim_E=16, n_layers=1,
+                            learning_rate=1e-3, reg_weight=1e-3,
+                            ssl_alpha=1, ssl_temp=1), ds)
+    s2 = build_model(Config(Model="SGL", dim_E=16, n_layers=1,
+                            learning_rate=1e-3, reg_weight=1e-3,
+                            ssl_alpha=0.01, ssl_temp=0.2), ds)
+    j1 = jax.make_jaxpr(lambda mm: mm.ssl_reg * mm.ssl_temp)(s1)
+    j2 = jax.make_jaxpr(lambda mm: mm.ssl_reg * mm.ssl_temp)(s2)
+    assert str(j1) == str(j2)
