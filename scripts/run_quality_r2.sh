@@ -154,6 +154,25 @@ combo AdaGCL netfilx 10800 '{"n_layers": 2, "learning_rate": 0.001, "reg_weight"
 # HCCF/netfilx: ref best 0.2331 at this combo (21-combo partial log).
 combo HCCF netfilx 10800 '{"n_layers": 3, "learning_rate": 0.001, "reg_weight": 1e-05, "ssl_alpha": 0.1, "ssl_temp": 0.5, "leaky": 1.0, "keepRate": 1.0, "mult": 0.01}'
 
+# Round-3 additions — the remaining id-only reference logs with usable
+# targets (AdaGCL_sports/DHCF_clothing/NCL_sports die before any metric
+# block and are untargetable; Grade_5000sports has no 5000sports data in
+# the mount):
+# Grade: complete Best blocks at one combo (log/Grade_{beauty,clothing,Sports}.log
+# = 0.11745 / 0.05943 / 0.06959).
+GRADE='{"n_layers": 5, "learning_rate": 0.001, "reg_weight": 0.1, "ssl_alpha": 0.2, "ssl_temp": 0.3, "ssl_temp2": 0.3, "noise_alpha": 0.2}'
+combo Grade beauty 7200 "$GRADE"
+combo Grade clothing 7200 "$GRADE"
+combo Grade sports 10800 "$GRADE"
+# DHCF/sports: 18-combo grid truncated; test best-so-far 0.05622 at this
+# combo (log/DHCF_sports.log).
+combo DHCF sports 10800 '{"n_layers": 1, "learning_rate": 0.001, "reg_weight": 1e-05, "dropout": 0}'
+# DiffRec sports/microlens: logs truncated in combo 1; test best-so-far
+# 0.06737 / 0.07963 (trajectory targets).
+DIFFREC='{"learning_rate": 0.0005, "noise_scale": 0.001, "noise_min": 0.0005, "noise_max": 0.005, "steps": 5, "dims": "[300]"}'
+combo DiffRec sports 7200 "$DIFFREC"
+combo DiffRec microlens 7200 "$DIFFREC"
+
 # CF_Diff/beauty LAST (tail absorber): ref log truncated (no Best
 # block); full early-stopped run at the first yaml combo for the
 # trajectory/quality record.
@@ -179,6 +198,8 @@ for k in bench attn speed_CF_Diff speed_SMORE speed_DRAGON speed_MICRO \
          combo_BSPM_clothing combo_LightGODE_clothing \
          combo_FKAN_GCF_clothing combo_DiffRec_beauty \
          combo_GFormer_beauty combo_AdaGCL_netfilx combo_HCCF_netfilx \
+         combo_Grade_beauty combo_Grade_clothing combo_Grade_sports \
+         combo_DHCF_sports combo_DiffRec_sports combo_DiffRec_microlens \
          q_CF_Diff; do
   step_done "$k" || { echo "=== MISSING $k"; missing=1; }
 done
