@@ -22,6 +22,30 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature flags.
+
+    XLA:CPU AOT executables are compiled for the *compile* machine's
+    features; the persistent cache will load them on a different machine
+    with only a warning ("could lead to execution errors such as
+    SIGILL") — and a cross-host entry did crash a dryrun after the
+    round-3 VM migration. Keying the cache directory by the host's
+    feature set makes stale host code unreachable instead of fatal.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "unknown"
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache (opt-out: CHAOREC_NO_COMPILE_CACHE).
 
@@ -29,7 +53,9 @@ def _enable_compile_cache() -> None:
     TPU tunnel; caching serialized executables on disk makes every rerun
     of an unchanged program (grid combos, bench, parity runs, resumed
     training) skip compilation entirely. Safe to set after ``import jax``
-    as long as nothing has compiled yet.
+    as long as nothing has compiled yet. The directory is keyed by a
+    host fingerprint (see ``_host_fingerprint``); TPU entries recompile
+    once after a host migration, CPU entries can never SIGILL.
     """
     if _os.environ.get("CHAOREC_NO_COMPILE_CACHE"):
         return
@@ -40,7 +66,9 @@ def _enable_compile_cache() -> None:
             "jax_compilation_cache_dir",
             _os.environ.get(
                 "JAX_COMPILATION_CACHE_DIR",
-                _os.path.expanduser("~/.cache/chaorec_jax_cache"),
+                _os.path.expanduser(
+                    f"~/.cache/chaorec_jax_cache/{_host_fingerprint()}"
+                ),
             ),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

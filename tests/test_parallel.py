@@ -559,3 +559,89 @@ def test_cli_mesh_shape_family_trainers(tiny_dataset):
             model, tiny_dataset, cfg)
         best = trainer.run()
         assert 20 in best and best[20]["recall"] >= 0.0, (name, best)
+
+
+def test_sharded_ncl_step_matches_single_device(tiny_dataset):
+    """The e-step family (NCL/VGCL, reference train_and_evaluate.py:
+    107-125): the per-step k-means prototype recompute runs INSIDE the
+    sharded jit over the row-sharded embedding tables (XLA inserts the
+    all-gathers faiss never could), and the step matches single-device."""
+    ds = tiny_dataset
+    cfg = Config(Model="NCL", batch_size=64, dim_E=16, learning_rate=1e-3,
+                 reg_weight=1e-4, n_layers=2, ssl_temp=0.5, ssl_alpha=1e-6)
+    model = build_model(cfg, ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rs = np.random.default_rng(2)
+    b = 64
+    batch = Batch(
+        jnp.asarray(rs.integers(0, ds.num_user, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.ones((b,), jnp.float32), jnp.int32(0), None,
+    )
+    rng = jax.random.PRNGKey(7)
+    opt = optax.adam(1e-3)
+
+    mesh1 = make_mesh(1)
+    step1 = make_sharded_train_step(model, opt, mesh1)
+    p1, _, loss1 = step1(params, opt.init(params), batch, rng)
+
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    p_sh = shard_params(params, mesh)
+    step8 = make_sharded_train_step(model, opt, mesh)
+    p8, _, loss8 = step8(p_sh, opt.init(p_sh), shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-4)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_lattice_step_matches_single_device(tiny_dataset):
+    """The build-item-graph family (LATTICE/MICRO, reference
+    train_and_evaluate.py:98-106): the stateful sharded step carries the
+    learned dense (I, I) item adjacency across the mesh and rebuilds it
+    on batch.index == 0 inside the jit; step == single-device."""
+    from chaorec_tpu.parallel.mesh import (
+        make_sharded_stateful_step,
+        shard_state,
+    )
+
+    ds = tiny_dataset
+    cfg = Config(Model="LATTICE", batch_size=64, dim_E=16, feature_embed=16,
+                 learning_rate=1e-3, reg_weight=1e-4, n_layers=1,
+                 mm_layers=1, ii_topk=5, lambda_coeff=0.8)
+    model = build_model(cfg, ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mstate = model.init_state(jax.random.PRNGKey(1))
+    rs = np.random.default_rng(3)
+    b = 64
+    batch = Batch(
+        jnp.asarray(rs.integers(0, ds.num_user, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.asarray(rs.integers(0, ds.num_item, b).astype(np.int32)),
+        jnp.ones((b,), jnp.float32), jnp.int32(0), None,
+    )
+    rng = jax.random.PRNGKey(9)
+    opt = optax.adam(1e-3)
+
+    mesh1 = make_mesh(1)
+    step1 = make_sharded_stateful_step(model, opt, mesh1)
+    p1, _, s1, loss1 = step1(params, opt.init(params), mstate, batch, rng)
+
+    model = build_model(cfg, ds)  # fresh: donation consumed aliased buffers
+    params = model.init_params(jax.random.PRNGKey(0))
+    mstate = model.init_state(jax.random.PRNGKey(1))
+    mesh = make_mesh(8)
+    p_sh = shard_params(params, mesh)
+    step8 = make_sharded_stateful_step(model, opt, mesh)
+    p8, _, s8, loss8 = step8(p_sh, opt.init(p_sh), shard_state(mstate, mesh),
+                             shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(s1),
+                               rtol=1e-4, atol=1e-5)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
+                                   rtol=1e-4, atol=1e-5)
