@@ -52,3 +52,24 @@ def test_bspm_matches_reference_pipeline(tiny_dataset):
         ds.train_edges, ds.num_user, ds.num_item, users, 2 * q, k_s, t_s, beta
     )
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+def test_bspm_spectral_cache_reuses_factors_across_grid_combos(tiny_dataset):
+    """Grid combos vary only K_s/T_s/idl_beta — the spectral build must be
+    computed once and reused (and never aliased across datasets)."""
+    from chaorec_tpu.models import bspm as bspm_mod
+
+    ds = tiny_dataset
+    bspm_mod._SPECTRAL_CACHE.clear()
+    m1 = build_model(Config(Model="BSPM", K_s=2, T_s=1.5, idl_beta=0.7), ds)
+    assert len(bspm_mod._SPECTRAL_CACHE) == 1
+    m2 = build_model(Config(Model="BSPM", K_s=4, T_s=2.0, idl_beta=1.0), ds)
+    assert m2.b is m1.b and m2.c is m1.c  # reused, not recomputed
+
+    # A different interaction matrix must miss the cache.
+    import dataclasses
+
+    flipped = np.array(ds.train_edges)[:-2]
+    ds2 = dataclasses.replace(ds, train_edges=flipped)
+    m3 = build_model(Config(Model="BSPM", K_s=2, T_s=1.5, idl_beta=0.7), ds2)
+    assert m3.b is not m1.b
