@@ -17,8 +17,9 @@ import statistics
 import sys
 from pathlib import Path
 
-# reference epoch seconds from /root/reference/log timestamp deltas
-# (BASELINE.md); None = no reference log to compare against
+# Hand-checked overrides (BASELINE.md); anything not listed here is
+# derived from the reference log's own Epoch-line timestamp deltas
+# (first combo only) by _ref_epoch_from_log below.
 REF_EPOCH_S = {
     "CF_Diff_beauty": 91.0,
     "SMORE_sports": 15.0,
@@ -33,6 +34,41 @@ REF_EPOCH_S = {
     "MMSSL_beauty": 26.0,
     "MCLN_beauty": 9.0,
 }
+
+REF_LOG_DIR = Path("/root/reference/log")
+_TS = re.compile(r"^\w{3} (\d{2} \w{3} \d{4} \d{2}:\d{2}:\d{2}) INFO (.*)")
+
+
+def _ref_epoch_from_log(name: str):
+    """Median per-epoch wall clock of the reference log's FIRST grid
+    combo, from its own Epoch-line timestamp deltas (the same way the
+    hand-checked BASELINE.md numbers were computed). Returns None when
+    there is no log or fewer than 2 epoch deltas; 1-s log resolution
+    makes sub-second reference epochs unusable, so those report None."""
+    import datetime
+
+    path = REF_LOG_DIR / f"{name}.log"
+    if not path.exists():
+        return None
+    stamps, combos = [], 0
+    for line in path.read_text(errors="replace").splitlines():
+        m = _TS.match(line)
+        if not m:
+            continue
+        msg = m.group(2)
+        if "Parameters:" in msg:
+            combos += 1
+            if combos > 1:
+                break
+        elif msg.startswith("Epoch ") and combos <= 1:
+            stamps.append(datetime.datetime.strptime(
+                m.group(1), "%d %b %Y %H:%M:%S"))
+    deltas = [(b - a).total_seconds() for a, b in zip(stamps, stamps[1:])
+              if 0 < (b - a).total_seconds() < 3600]
+    if len(deltas) < 2:
+        return None
+    med = statistics.median(deltas)
+    return med if med >= 1.0 else None
 
 LINE = re.compile(r"epoch_time_s: total ([0-9.]+)")
 
@@ -58,6 +94,8 @@ def main() -> None:
             continue
         med, n = s
         ref = REF_EPOCH_S.get(name)
+        if ref is None:
+            ref = _ref_epoch_from_log(name)
         rows.append((name, med, n, ref))
     w = max((len(r[0]) for r in rows), default=10)
     print(f"{'workload':<{w}}  epochs  median_s  ref_s  speedup")

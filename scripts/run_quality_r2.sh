@@ -104,6 +104,38 @@ speed speed_DiffMM DiffMM beauty 2400 DiffMM_beauty.speed.stdout 8
 speed speed_MHRec_phaseC MHRec beauty 3000 MHRec_beauty.phaseC.speed.stdout 8 \
     env CHAOREC_MHREC_PHASE_C_ONLY=1
 
+# Re-time the remaining PARITY table rows at HEAD (the grid-stable
+# traced-scalar compile change is global, so every pre-0818 capture
+# is stale) ...
+speed speed_COHESION COHESION sports 2400 COHESION_sports.speed.stdout 8
+speed speed_MMSSL MMSSL beauty 2400 MMSSL_beauty.speed.stdout 8
+speed speed_MCLN MCLN beauty 1800 MCLN_beauty.speed.stdout 8
+speed speed_GUME GUME sports 2400 GUME_sports.speed.stdout 8
+speed speed_MGCN MGCN sports 2400 MGCN_sports.speed.stdout 8
+speed speed_LightGT LightGT beauty 1800 LightGT_beauty.speed.stdout 8
+# ... the structurally-changed models that never had a row (tower
+# batching / scatter-free propagation — VERDICT r2 item 3's full 13) ...
+speed speed_DualGNN DualGNN sports 2400 DualGNN_sports.speed.stdout 8
+speed speed_SLMRec SLMRec beauty 1800 SLMRec_beauty.speed.stdout 8
+speed speed_MGCL MGCL beauty 1800 MGCL_beauty.speed.stdout 8
+speed speed_MENTOR MENTOR beauty 1800 MENTOR_beauty.speed.stdout 8
+speed speed_MMGCL MMGCL beauty 1800 MMGCL_beauty.speed.stdout 8
+speed speed_POWERec POWERec beauty 1800 POWERec_beauty.speed.stdout 8
+speed speed_DCCF DCCF beauty 1800 DCCF_beauty.speed.stdout 8
+speed speed_DGCF DGCF beauty 1800 DGCF_beauty.speed.stdout 8
+speed speed_MGAT MGAT beauty 1800 MGAT_beauty.speed.stdout 8
+# ... and breadth: every remaining model family with a reference log
+# whose Epoch-timestamp deltas give a speed target
+# (parity_speed_report.py derives the reference column automatically).
+speed speed_BM3 BM3 sports 1800 BM3_sports.speed.stdout 8
+speed speed_GRCN GRCN beauty 1800 GRCN_beauty.speed.stdout 8
+speed speed_LGMRec LGMRec beauty 1800 LGMRec_beauty.speed.stdout 8
+speed speed_MMGCN MMGCN beauty 1800 MMGCN_beauty.speed.stdout 8
+speed speed_DDRec DDRec microlens 3000 DDRec_microlens.speed.stdout 6
+speed speed_NCL NCL sports 2400 NCL_sports.speed.stdout 8
+speed speed_DHCF DHCF beauty 2400 DHCF_beauty.speed.stdout 8
+speed speed_LATTICE_netfilx LATTICE netfilx 3600 LATTICE_netfilx.speed.stdout 6
+
 # ---------------------------------------------------------------- phase 3
 # Full early-stopped quality runs at the reference's own best combos
 # (VERDICT r1 item 6 / r2 item 4). Supervised + checkpointed: a tunnel
@@ -225,6 +257,11 @@ fi
 missing=0
 for k in bench attn speed_CF_Diff speed_SMORE speed_DRAGON speed_MICRO \
          speed_LATTICE speed_MHRec speed_DiffMM speed_MHRec_phaseC \
+         speed_COHESION speed_MMSSL speed_MCLN speed_GUME speed_MGCN \
+         speed_LightGT speed_DualGNN speed_SLMRec speed_MGCL \
+         speed_MENTOR speed_MMGCL speed_POWERec speed_DCCF speed_DGCF \
+         speed_MGAT speed_BM3 speed_GRCN speed_LGMRec speed_MMGCN \
+         speed_DDRec speed_NCL speed_DHCF speed_LATTICE_netfilx \
          combo_BSPM_clothing grid_BSPM_beauty grid_BSPM_sports \
          combo_LightGODE_clothing \
          combo_FKAN_GCF_clothing combo_DiffRec_beauty \
