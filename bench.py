@@ -47,6 +47,81 @@ def wait_for_backend(max_wait_s: float | None = None, poll_s: float = 30.0) -> s
                  log=lambda m: print(m, file=sys.stderr, flush=True))
 
 
+def _pause_evidence_queue():
+    """SIGSTOP the evidence-queue/watchdog process trees for the bench's
+    duration and return a resume callback.
+
+    The driver's end-of-round bench must not timeshare the single chip
+    with a multi-hour quality combo — and the tunnel watchdog must not
+    *launch* the queue mid-bench. Pausing (not killing) keeps the queue's
+    work: it resumes exactly where it was. Own ancestors are never
+    touched (the queue itself runs this script as its phase-1 step).
+    Disable with CHAOREC_BENCH_NO_PAUSE=1.
+    """
+    import signal
+
+    if os.environ.get("CHAOREC_BENCH_NO_PAUSE") == "1":
+        return lambda: None
+
+    ancestors = set()
+    p = os.getpid()
+    while p > 1:
+        try:
+            p = int(Path(f"/proc/{p}/stat").read_text()
+                    .rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+        ancestors.add(p)
+
+    def descendants(root: int) -> list[int]:
+        out, stack = [], [root]
+        while stack:
+            pid = stack.pop()
+            out.append(pid)
+            try:
+                kids = Path(
+                    f"/proc/{pid}/task/{pid}/children").read_text().split()
+            except OSError:
+                kids = []
+            stack.extend(int(k) for k in kids)
+        return out
+
+    stopped: list[int] = []
+    for pid_file in ("/tmp/watchdog.pid", "/tmp/quality_r2.pid"):
+        try:
+            root = int(Path(pid_file).read_text().split()[0])
+        except (OSError, ValueError, IndexError):
+            continue
+        if (root in ancestors or root == os.getpid()
+                or not Path(f"/proc/{root}").exists()):
+            continue
+        try:  # stale pid files can point at recycled pids — verify
+            cmdline = Path(f"/proc/{root}/cmdline").read_text()
+        except OSError:
+            continue
+        if ("watchdog" not in cmdline and "run_quality" not in cmdline):
+            continue
+        for pid in descendants(root):
+            if pid in ancestors or pid == os.getpid() or pid in stopped:
+                continue
+            try:
+                os.kill(pid, signal.SIGSTOP)
+                stopped.append(pid)
+            except (ProcessLookupError, PermissionError):
+                pass
+    if stopped:
+        print(f"bench: paused evidence queue pids {stopped}",
+              file=sys.stderr, flush=True)
+
+    def resume() -> None:
+        for pid in reversed(stopped):
+            try:
+                os.kill(pid, signal.SIGCONT)
+            except (ProcessLookupError, PermissionError):
+                pass
+    return resume
+
+
 def find_data_root() -> str:
     for cand in ("Data", "/root/repo/Data", "/root/reference/Data"):
         if Path(cand).joinpath("beauty/train.npy").exists():
@@ -97,6 +172,10 @@ def _eval_users_per_s(trainer, params, num_user, n=3):
 
 
 def main() -> None:
+    resume_queue = _pause_evidence_queue()
+    import atexit
+
+    atexit.register(resume_queue)
     platform = wait_for_backend()
 
     from chaorec_tpu.config import Config
