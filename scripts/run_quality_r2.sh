@@ -277,3 +277,9 @@ if [ $missing -eq 0 ]; then
 else
   echo "=== QUEUE PASS COMPLETE (gaps remain) $(date +%H:%M:%S)"
 fi
+
+# Always refresh the machine-readable parity tables from whatever
+# artifacts exist — if no interactive session is alive at round end,
+# the driver's auto-commit still captures current tables.
+python scripts/parity_speed_report.py > parity_logs/speed_report.txt 2>&1 || true
+python scripts/parity_quality_report.py > parity_logs/quality_report.txt 2>&1 || true
