@@ -30,6 +30,13 @@ MULTIMODAL = {
 }
 
 
+# reference log filenames that differ from ours only by case/typo
+REF_ALIASES = {
+    "Grade_sports.log": "Grade_Sports.log",
+    "DualGNN_microlens.log": "DualGN_microlens.log",  # ref typo'd name
+}
+
+
 def best_of(path: Path):
     if not path.exists():
         return None
@@ -45,14 +52,15 @@ def main() -> None:
     for path in sorted(ours_dir.glob("*.log")):
         name = path.stem
         ours = best_of(path)
-        ref = best_of(ref_dir / path.name)
+        ref_name = REF_ALIASES.get(path.name, path.name)
+        ref = best_of(ref_dir / ref_name)
         rows.append((name, ours, ref))
     w = max((len(r[0]) for r in rows), default=10)
     print(f"{'workload':<{w}}  {'ours':>8}  {'reference':>9}  delta")
     for name, ours, ref in rows:
         o = f"{ours:.5f}" if ours is not None else "(no best)"
         if ref is None:
-            r, d = ("(no ref log)" if not (ref_dir / (name + ".log")).exists()
+            r, d = ("(no ref log)" if not (ref_dir / ref_name).exists()
                     else "(ref truncated)"), ""
         elif ours is None:
             r, d = f"{ref:.5f}", ""

@@ -47,7 +47,8 @@ def _ref_epoch_from_log(name: str):
     makes sub-second reference epochs unusable, so those report None."""
     import datetime
 
-    path = REF_LOG_DIR / f"{name}.log"
+    aliases = {"Grade_sports": "Grade_Sports"}  # ref log case quirk
+    path = REF_LOG_DIR / f"{aliases.get(name, name)}.log"
     if not path.exists():
         return None
     stamps, combos = [], 0
