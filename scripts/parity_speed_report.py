@@ -74,10 +74,19 @@ def _ref_epoch_from_log(name: str):
 LINE = re.compile(r"epoch_time_s: total ([0-9.]+)")
 
 
-def summarize(path: Path):
-    times = [float(m.group(1)) for m in map(LINE.search,
-                                            path.read_text().splitlines())
-             if m]
+def summarize(path: Path, first_combo_only: bool = False):
+    """Median steady-state epoch seconds. With first_combo_only, stop at
+    the second grid-combo header so full-run rows compare the same combo
+    the reference column was derived from (its log's first combo)."""
+    times, combos = [], 0
+    for line in path.read_text(errors="replace").splitlines():
+        if "Parameters:" in line:
+            combos += 1
+            if first_combo_only and combos > 1:
+                break
+        m = LINE.search(line)
+        if m:
+            times.append(float(m.group(1)))
     if len(times) < 3:
         return None
     steady = times[1:]  # drop compile epoch
@@ -86,26 +95,39 @@ def summarize(path: Path):
 
 def main() -> None:
     root = Path(sys.argv[1] if len(sys.argv) > 1 else "parity_logs")
+    # Dedicated speed captures take precedence; full-run stdouts (the
+    # quality combos log the same per-epoch wall clock) fill the rest.
+    sources: dict[str, tuple[Path, str]] = {}
+    for path in sorted(root.glob("*.stdout")):
+        if ".randsvd" in path.name:
+            continue
+        if path.name.endswith(".speed.stdout"):
+            name = path.name.replace(".speed.stdout", "")
+            sources[name] = (path, "speed")
+        else:
+            name = path.name.replace(".stdout", "")
+            sources.setdefault(name, (path, "full-run"))
     rows = []
-    for path in sorted(root.glob("*.speed.stdout")):
-        name = path.name.replace(".speed.stdout", "")
-        s = summarize(path)
+    for name, (path, kind) in sorted(sources.items()):
+        s = summarize(path, first_combo_only=(kind == "full-run"))
         if s is None:
-            rows.append((name, None, None, None))
+            rows.append((name, None, None, None, kind))
             continue
         med, n = s
         ref = REF_EPOCH_S.get(name)
         if ref is None:
             ref = _ref_epoch_from_log(name)
-        rows.append((name, med, n, ref))
+        rows.append((name, med, n, ref, kind))
     w = max((len(r[0]) for r in rows), default=10)
-    print(f"{'workload':<{w}}  epochs  median_s  ref_s  speedup")
-    for name, med, n, ref in rows:
+    print(f"{'workload':<{w}}  epochs  median_s  ref_s  speedup  source")
+    for name, med, n, ref, kind in rows:
         if med is None:
-            print(f"{name:<{w}}  (no steady-state epochs — run incomplete)")
+            print(f"{name:<{w}}  (no steady-state epochs — run incomplete"
+                  f" or pre-timing-era {kind})")
             continue
         spd = f"{ref / med:7.2f}x" if ref else "      —"
-        print(f"{name:<{w}}  {n:>6}  {med:8.3f}  {ref if ref else '—':>5}  {spd}")
+        print(f"{name:<{w}}  {n:>6}  {med:8.3f}  {ref if ref else '—':>5}"
+              f"  {spd}  {kind}")
 
 
 if __name__ == "__main__":
