@@ -172,9 +172,16 @@ def _eval_users_per_s(trainer, params, num_user, n=3):
 
 
 def main() -> None:
-    resume_queue = _pause_evidence_queue()
     import atexit
+    import signal
 
+    # atexit does NOT run on SIGTERM's default disposition — and the
+    # driver wraps this script in `timeout`. Convert termination signals
+    # to SystemExit so the paused queue is always resumed.
+    for sig in (signal.SIGTERM, signal.SIGHUP):
+        signal.signal(sig, lambda s, f: sys.exit(128 + s))
+
+    resume_queue = _pause_evidence_queue()
     atexit.register(resume_queue)
     platform = wait_for_backend()
 

@@ -49,7 +49,12 @@ class BSPM(RecModel):
         self.idl_beta = idl_beta
         self.r = dense_r.astype(jnp.float32)  # normalized R (U, I)
         q = min(self.factor_dim, min(num_user, num_item) - 1)
-        key = (num_user, num_item, q, float(jnp.sum(self.r)))
+        # Two independent fp32 moments: same-shape datasets colliding on
+        # BOTH the sum and the sum of squares is not a realistic event.
+        # (factor_dim is a class constant, never a grid axis, so the
+        # single-entry clear() policy cannot thrash within one grid.)
+        key = (num_user, num_item, q, float(jnp.sum(self.r)),
+               float(jnp.vdot(self.r.ravel(), self.r.ravel())))
         if key in _SPECTRAL_CACHE:
             self.c, self.b = _SPECTRAL_CACHE[key]
         else:

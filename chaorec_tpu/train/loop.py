@@ -111,6 +111,15 @@ def _set_injected_lr(opt_state, lr: float):
     return jax.tree_util.tree_map_with_path(fix, opt_state)
 
 
+def _epoch_lr_key(model, cfg) -> float:
+    """The learning rate enters the compiled epoch as a constant ONLY
+    for row-sparse-table models (the fused row-Adam takes it as a python
+    float). For everything else the lr lives in opt_state
+    (inject_hyperparams), so keying the epoch cache on it would fragment
+    one compile per lr grid point — return a fixed 0.0 instead."""
+    return float(cfg.learning_rate) if model.table_params else 0.0
+
+
 @functools.lru_cache(maxsize=64)
 def _jitted_epoch(optimizer, batch_size: int, neg_candidates: int,
                   table_lr: float):
@@ -294,7 +303,7 @@ class Trainer:
             )
         jitted = _jitted_epoch(self.optimizer, int(cfg.batch_size),
                                int(cfg.neg_candidates),
-                               float(cfg.learning_rate))
+                               _epoch_lr_key(self.model, cfg))
         return lambda params, opt_state, rng: jitted(
             self.model, params, opt_state, self.model_state, rng,
             self.edges, self.history,

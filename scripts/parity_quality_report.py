@@ -54,10 +54,10 @@ def main() -> None:
         ours = best_of(path)
         ref_name = REF_ALIASES.get(path.name, path.name)
         ref = best_of(ref_dir / ref_name)
-        rows.append((name, ours, ref))
+        rows.append((name, ours, ref, ref_name))
     w = max((len(r[0]) for r in rows), default=10)
     print(f"{'workload':<{w}}  {'ours':>8}  {'reference':>9}  delta")
-    for name, ours, ref in rows:
+    for name, ours, ref, ref_name in rows:
         o = f"{ours:.5f}" if ours is not None else "(no best)"
         if ref is None:
             r, d = ("(no ref log)" if not (ref_dir / ref_name).exists()

@@ -38,8 +38,13 @@ else
   timeout 3600 python bench.py > parity_logs/bench_r3.stdout 2>&1
   rc=$?
   echo "=== B bench exit $rc $(date +%H:%M:%S)"
+  # A CPU-fallback artifact (bench.py pins JAX_PLATFORMS=cpu after its
+  # backend wait expires, platform field self-describes) is parseable
+  # but is NOT the contract number — leave unmarked so the next alive
+  # window re-benches on the chip.
   if [ $rc -eq 0 ] && \
-     [ "$(grep -c '"vs_baseline"' parity_logs/bench_r3.stdout)" -ge 3 ]; then
+     [ "$(grep -c '"vs_baseline"' parity_logs/bench_r3.stdout)" -ge 3 ] && \
+     ! grep -q '"platform": "cpu"' parity_logs/bench_r3.stdout; then
     mark_done bench
   fi
 fi
@@ -59,10 +64,16 @@ else
   else
     rc=$?
     echo "=== V FAILED rc=$rc - forcing XLA attention for all further runs"
-    # rc 124 = timeout/backend loss: leave unmarked so it re-runs next
-    # alive window; a true kernel failure is recorded and not retried.
-    if [ $rc -ne 124 ] && grep -qi "mismatch\|error\|assert" \
-        parity_logs/attn_validation.txt; then
+    # rc 124 = timeout, and a backend-loss traceback also contains
+    # "error" — only record a PERMANENT kernel failure when the output
+    # shows a numeric/kernel problem and NOT a dead-tunnel signature
+    # (otherwise a flap mid-validation would disable the fused kernel
+    # for every future pass).
+    if [ $rc -ne 124 ] \
+       && grep -qi "mismatch\|assert\|nan\|mosaic" \
+            parity_logs/attn_validation.txt \
+       && ! grep -qi "unable to initialize backend\|UNAVAILABLE\|response body closed\|DEADLINE_EXCEEDED" \
+            parity_logs/attn_validation.txt; then
       mark_done attn failed
     fi
     export CHAOREC_NO_FUSED_ATTN=1

@@ -187,11 +187,13 @@ def test_epoch_fn_shared_across_grid_combos(tiny_dataset):
         tr.train_epoch(p, o, jax.random.PRNGKey(1), 0)
         return tr
 
+    from chaorec_tpu.train.loop import _epoch_lr_key
+
     trA = one_epoch(cfgA)
     factory_before = _jitted_epoch.cache_info().currsize
     jitted = _jitted_epoch(trA.optimizer, 64,
                            int(cfgA.neg_candidates),
-                           float(cfgA.learning_rate))
+                           _epoch_lr_key(trA.model, cfgA))
     traces_before = jitted._cache_size()
     trB = one_epoch(cfgB)
     assert trA.optimizer is trB.optimizer
@@ -267,7 +269,7 @@ def test_lr_axis_shares_trace_and_takes_effect(tiny_dataset):
     instance and the trace (the lr is written into opt_state at init —
     the shared optimizer itself is lr-agnostic with a NaN placeholder,
     so a missed fixup would blow up loudly here)."""
-    from chaorec_tpu.train.loop import Trainer, _jitted_epoch
+    from chaorec_tpu.train.loop import Trainer, _epoch_lr_key, _jitted_epoch
 
     ds = tiny_dataset
     cfgA = Config(Model="BPR", batch_size=64, dim_E=16, learning_rate=0.05,
@@ -292,10 +294,14 @@ def test_lr_axis_shares_trace_and_takes_effect(tiny_dataset):
 
     trA, pA = one_epoch(cfgA)
     jitted = _jitted_epoch(trA.optimizer, 64, int(cfgA.neg_candidates),
-                           float(cfgA.learning_rate))
+                           _epoch_lr_key(trA.model, cfgA))
     traces_before = jitted._cache_size()
     trB, pB = one_epoch(cfgB)
     assert trA.optimizer is trB.optimizer
+    # the two combos must resolve to the SAME jitted wrapper (an lr-keyed
+    # wrapper would make the no-retrace assertion below pass vacuously)
+    assert _jitted_epoch(trB.optimizer, 64, int(cfgB.neg_candidates),
+                         _epoch_lr_key(trB.model, cfgB)) is jitted
     assert jitted._cache_size() == traces_before  # lr-only: no retrace
     # and the two learning rates genuinely produced different updates
     assert not np.allclose(pA, pB)
