@@ -135,17 +135,8 @@ speed speed_POWERec POWERec beauty 1800 POWERec_beauty.speed.stdout 8
 speed speed_DCCF DCCF beauty 1800 DCCF_beauty.speed.stdout 8
 speed speed_DGCF DGCF beauty 1800 DGCF_beauty.speed.stdout 8
 speed speed_MGAT MGAT beauty 1800 MGAT_beauty.speed.stdout 8
-# ... and breadth: every remaining model family with a reference log
-# whose Epoch-timestamp deltas give a speed target
-# (parity_speed_report.py derives the reference column automatically).
-speed speed_BM3 BM3 sports 1800 BM3_sports.speed.stdout 8
-speed speed_GRCN GRCN beauty 1800 GRCN_beauty.speed.stdout 8
-speed speed_LGMRec LGMRec beauty 1800 LGMRec_beauty.speed.stdout 8
-speed speed_MMGCN MMGCN beauty 1800 MMGCN_beauty.speed.stdout 8
-speed speed_DDRec DDRec microlens 3000 DDRec_microlens.speed.stdout 6
-speed speed_NCL NCL sports 2400 NCL_sports.speed.stdout 8
-speed speed_DHCF DHCF beauty 2400 DHCF_beauty.speed.stdout 8
-speed speed_LATTICE_netfilx LATTICE netfilx 3600 LATTICE_netfilx.speed.stdout 6
+# (breadth speed rows for the remaining families run AFTER the cheap
+# quality combos below — see the "breadth" block in phase 3.)
 
 # ---------------------------------------------------------------- phase 3
 # Full early-stopped quality runs at the reference's own best combos
@@ -209,6 +200,18 @@ bspm_grid beauty 5400
 bspm_grid sports 7200
 combo LightGODE clothing 7200 '{"gamma": 0.2, "learning_rate": 0.001, "t": 5.0}'
 combo FKAN_GCF clothing 10800 '{"n_layers": 3, "learning_rate": 0.001, "reg_weight": 1, "node_dropout": 0.2, "message_dropout": 0, "grid_size": 2}'
+
+# Breadth speed rows: every remaining model family with a reference log
+# whose Epoch-timestamp deltas give a speed target
+# (parity_speed_report.py derives the reference column automatically).
+speed speed_BM3 BM3 sports 1800 BM3_sports.speed.stdout 8
+speed speed_GRCN GRCN beauty 1800 GRCN_beauty.speed.stdout 8
+speed speed_LGMRec LGMRec beauty 1800 LGMRec_beauty.speed.stdout 8
+speed speed_MMGCN MMGCN beauty 1800 MMGCN_beauty.speed.stdout 8
+speed speed_DDRec DDRec microlens 3000 DDRec_microlens.speed.stdout 6
+speed speed_NCL NCL sports 2400 NCL_sports.speed.stdout 8
+speed speed_DHCF DHCF beauty 2400 DHCF_beauty.speed.stdout 8
+speed speed_LATTICE_netfilx LATTICE netfilx 3600 LATTICE_netfilx.speed.stdout 6
 
 # DiffRec/beauty: ref best 0.06402 (log truncated before the Best block
 # on later combos; this is its best logged combo).
