@@ -47,7 +47,10 @@ def wait_for_backend(max_wait_s: float | None = None, poll_s: float = 30.0) -> s
                  log=lambda m: print(m, file=sys.stderr, flush=True))
 
 
-def _pause_evidence_queue():
+_QUEUE_PID_FILES = ("/tmp/watchdog.pid", "/tmp/quality_r2.pid")
+
+
+def _pause_evidence_queue(pid_files=_QUEUE_PID_FILES):
     """SIGSTOP the evidence-queue/watchdog process trees for the bench's
     duration and return a resume callback.
 
@@ -87,7 +90,7 @@ def _pause_evidence_queue():
         return out
 
     stopped: list[int] = []
-    for pid_file in ("/tmp/watchdog.pid", "/tmp/quality_r2.pid"):
+    for pid_file in pid_files:
         try:
             root = int(Path(pid_file).read_text().split()[0])
         except (OSError, ValueError, IndexError):

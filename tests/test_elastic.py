@@ -88,3 +88,48 @@ def test_wait_for_backend_no_pin_leaves_env_alone():
                            log=lambda m: None)
     assert got is None
     assert os.environ.get("JAX_PLATFORMS") == before
+
+
+def test_bench_pause_resumes_queue_tree(tmp_path):
+    """bench.py's queue pause: a watchdog-named process tree is STOPped
+    and CONTed; stale pid files and wrong-cmdline processes are left
+    alone (pid-recycling safety)."""
+    import importlib.util
+    import time
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    script = tmp_path / "fake_watchdog.sh"
+    script.write_text("#!/bin/bash\nsleep 60\n")
+    proc = subprocess.Popen(["bash", str(script)])
+    try:
+        pidf = tmp_path / "watchdog.pid"
+        pidf.write_text(f"{proc.pid}\n")
+        # an innocent process + a dead pid in the list must be ignored
+        innocent = subprocess.Popen(["sleep", "60"])
+        pidf2 = tmp_path / "quality_r2.pid"
+        pidf2.write_text(f"{innocent.pid}\n")
+        pidf3 = tmp_path / "stale.pid"
+        pidf3.write_text("999999999\n")
+        try:
+            resume = bench._pause_evidence_queue(
+                (str(pidf), str(pidf2), str(pidf3)))
+            time.sleep(0.2)
+
+            def state(pid):
+                return open(f"/proc/{pid}/stat").read().split(")")[-1].split()[0]
+
+            assert state(proc.pid) == "T"        # watchdog tree stopped
+            assert state(innocent.pid) != "T"    # cmdline guard held
+            resume()
+            time.sleep(0.2)
+            assert state(proc.pid) != "T"        # resumed
+        finally:
+            innocent.kill()
+    finally:
+        proc.kill()
