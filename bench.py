@@ -194,7 +194,12 @@ def main() -> None:
     from chaorec_tpu.train.loop import Trainer
 
     root = find_data_root()
-    lines = []
+
+    def emit(line: dict) -> None:
+        # one JSON line per metric, flushed the moment it exists — a
+        # backend death mid-bench leaves a partial but parseable artifact
+        line["platform"] = platform
+        print(json.dumps(line), flush=True)
 
     # --- FREEDOM / sports (reference ~5 s/epoch) --------------------------
     # first grid combo of Model_YAML/FREEDOM.yaml
@@ -208,7 +213,7 @@ def main() -> None:
     model = build_model(cfg, ds)
     trainer = Trainer(model, ds, cfg)
     freedom_s, f_params = _run_epochs(trainer, model, cfg)
-    lines.append({
+    emit({
         "metric": "freedom_sports_epoch_s",
         "value": round(freedom_s, 4), "unit": "s",
         "vs_baseline": round(5.0 / freedom_s, 2),
@@ -226,7 +231,7 @@ def main() -> None:
     trainer = Trainer(model, ds, cfg)
     epoch_s, params = _run_epochs(trainer, model, cfg)
     users_per_s = _eval_users_per_s(trainer, params, ds.num_user)
-    lines.append({
+    emit({
         "metric": "eval_users_per_s_beauty",
         "value": round(users_per_s, 1), "unit": "users/s",
         # Reference eval is CPU-by-design (.cpu() in gene_ranklist,
@@ -236,15 +241,11 @@ def main() -> None:
         # users ~= 2315 users/s.
         "vs_baseline": round(users_per_s / 2315.0, 2),
     })
-    lines.append({
+    emit({
         "metric": "lightgcn_beauty_epoch_s",
         "value": round(epoch_s, 4), "unit": "s",
         "vs_baseline": round(4.0 / epoch_s, 2),
     })
-
-    for line in lines:
-        line["platform"] = platform
-        print(json.dumps(line))
 
 
 if __name__ == "__main__":
