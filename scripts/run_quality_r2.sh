@@ -15,6 +15,11 @@
 # with CHAOREC_QUEUE_FORCE=1.
 set -u
 cd /root/repo
+# Single-instance guard: a backup watchdog (or a manual launch) must
+# never run a second queue concurrently — two instances would race the
+# same .done markers and timeshare the chip.
+exec 9>/tmp/quality_r2.lock
+flock -n 9 || { echo "queue already running - exiting"; exit 0; }
 mkdir -p parity_logs
 DATA=/root/reference/Data
 DONE=parity_logs/.done
