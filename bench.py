@@ -47,7 +47,8 @@ def wait_for_backend(max_wait_s: float | None = None, poll_s: float = 30.0) -> s
                  log=lambda m: print(m, file=sys.stderr, flush=True))
 
 
-_QUEUE_PID_FILES = ("/tmp/watchdog.pid", "/tmp/quality_r2.pid")
+_QUEUE_PID_FILES = ("/tmp/watchdog.pid", "/tmp/watchdog2.pid",
+                    "/tmp/quality_r2.pid")
 
 
 def _pause_evidence_queue(pid_files=_QUEUE_PID_FILES):
