@@ -1,8 +1,20 @@
 """On-TPU validation + timing of ops/pallas_attn.fused_mha at CAM_AE shapes.
 
-Checks (1) forward parity vs the XLA reference at keep=1, (2) grad
-parity, (3) dropout mask statistics from the in-kernel hardware PRNG,
-(4) fused-vs-XLA step timing at CF-Diff's (B=64, h=4, L=1034, dh=4).
+Checks (1) forward parity vs the XLA reference, (2) grad parity, (3)
+dropout mask statistics from the in-kernel hardware PRNG, (4) fused-vs-XLA
+step timing at CF-Diff's (B=64, h=4, L=1034, dh=4).
+
+Tolerances are NOISE-FLOOR-RELATIVE, not absolute: on TPU the default
+matmul precision runs bf16 passes on the MXU in BOTH the Pallas kernel
+and the plain-XLA reference path, so the two default-precision results
+legitimately differ at the ~1e-4 level (the r2 script's absolute 1e-4
+bound was calibrated in fp32 interpret mode and tripped on exactly this
+— err 2.39e-4 with a perfectly healthy kernel). The fix: compute a
+forced-fp32 oracle (jax.default_matmul_precision("float32")) and require
+the kernel's error from the oracle to sit in the same precision class as
+the XLA default path's own error from that oracle. A real Mosaic
+miscompile produces errors orders of magnitude above that floor (or
+NaNs), which this still catches.
 """
 import os
 import sys
@@ -30,6 +42,22 @@ def timeit(name, fn, *args, iters=30):
           flush=True)
 
 
+def _against(name, got, xla_default, oracle):
+    """Assert `got` is in the same precision class as the XLA default
+    path, both measured against the forced-fp32 oracle."""
+    err_fused = float(jnp.max(jnp.abs(got - oracle)))
+    err_xla = float(jnp.max(jnp.abs(xla_default - oracle)))
+    scale = float(jnp.max(jnp.abs(oracle))) + 1e-12
+    # floor: XLA's own default-precision error, with an absolute backstop
+    # in case the default path happens to be exact on some backend.
+    bound = max(8.0 * max(err_xla, 1e-7 * scale), 1e-6 * scale)
+    print(f"{name}: |fused-oracle|={err_fused:.2e} "
+          f"|xla_default-oracle|={err_xla:.2e} scale={scale:.2e} "
+          f"bound={bound:.2e}", flush=True)
+    assert np.isfinite(err_fused), (name, "non-finite kernel output")
+    assert err_fused < bound, (name, err_fused, err_xla, bound)
+
+
 def main():
     b, h, l, dh = 64, 4, 1034, 4
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
@@ -39,9 +67,9 @@ def main():
 
     got = jax.jit(lambda *a: fused_mha(*a, 1.0))(q, k, v, SEED)
     want = jax.jit(mha_reference)(q, k, v)
-    err = float(jnp.max(jnp.abs(got - want)))
-    print(f"forward max-abs-err (keep=1): {err:.2e}")
-    assert err < 1e-4, err
+    with jax.default_matmul_precision("float32"):
+        oracle = jax.jit(mha_reference)(q, k, v)
+    _against("forward (keep=1)", got, want, oracle)
 
     def loss_f(q_, k_, v_):
         return jnp.sum(fused_mha(q_, k_, v_, SEED, 1.0) ** 2)
@@ -51,11 +79,10 @@ def main():
 
     gf = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2)))(q, k, v)
     gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(q, k, v)
-    for name, a, bb in zip("qkv", gf, gr):
-        e = float(jnp.max(jnp.abs(a - bb)))
-        rel = e / (float(jnp.max(jnp.abs(bb))) + 1e-12)
-        print(f"grad d{name} max-abs-err: {e:.2e} (rel {rel:.2e})")
-        assert rel < 1e-3, (name, e, rel)
+    with jax.default_matmul_precision("float32"):
+        go = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(q, k, v)
+    for name, a, bb, cc in zip("qkv", gf, gr, go):
+        _against(f"grad d{name}", a, bb, cc)
 
     ones = jnp.ones_like(v)
     out_d = jax.jit(lambda *a: fused_mha(*a, 0.5))(q, k, ones, SEED)
