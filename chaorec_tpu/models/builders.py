@@ -83,17 +83,28 @@ def _maybe_op(cfg: Config, ds: RecDataset, graph, layer_weights):
     return None
 
 
-def _ui_graph(cfg: Config, ds: RecDataset, force_sparse: bool = False):
+def _ui_graph(cfg: Config, ds: RecDataset, force_sparse: bool = False,
+              bf16_dense_budget: int = 0):
     """UI graph. ``force_sparse`` skips the dense (U, I) operator so both
     propagate directions run on the ELL gather-reduce path — measured
     faster than the dense MXU matmul for the tower-style multimodal
-    models whose forwards apply R/R^T many times per step."""
+    models whose forwards apply R/R^T many times per step.
+    ``bf16_dense_budget`` (cells) raises the dense crossover when the
+    graph computes in bf16: the dense matrix is half the bytes, and the
+    GUME ablation (scripts/ablate_gume4.py, 653M-cell sports) measured
+    dense-bf16 3-layer propagation at 19.3 ms fwd+bwd vs 57.7 ms for the
+    transaction-bound ELL gathers — the fp32-calibrated default
+    ``cfg.dense_prop_threshold`` leaves that win on the table for graphs
+    just above it (microlens/sports are both ~653M cells)."""
+    thr = cfg.dense_prop_threshold
+    if bf16_dense_budget and cfg.graph_compute_dtype == "bfloat16":
+        thr = max(thr, bf16_dense_budget)
     return build_norm_adj(
         ds.train_edges,
         ds.num_user,
         ds.num_item,
         use_dense=False if force_sparse else None,
-        dense_threshold=cfg.dense_prop_threshold,
+        dense_threshold=thr,
         compute_dtype=cfg.graph_compute_dtype,
     )
 
@@ -244,8 +255,14 @@ def _lattice(cfg: Config, ds: RecDataset):
     # main.py:276-279: LATTICE(..., dim_E, feature_embedding, reg_weight,
     #   n_layers, mm_layers, ii_topk, aggr_mode, lambda_coeff, device)
     v, t = _feats(ds)
+    # LATTICE applies R/R^T only n_layers(~2) times per step (not a
+    # many-pass tower), and its per-batch cost on microlens measured
+    # gather-bound (26 ms/batch ≈ GUME's 57.7 ms/3-layer at the same
+    # 653M-cell size) — take the dense-bf16 MXU path up to GUME's
+    # measured budget instead of forcing ELL.
     return LATTICE(
-        ds.num_user, ds.num_item, _ui_graph(cfg, ds, force_sparse=True), v, t,
+        ds.num_user, ds.num_item,
+        _ui_graph(cfg, ds, bf16_dense_budget=int(8e8)), v, t,
         cfg.dim_E, cfg.feature_embed, cfg.reg_weight, cfg.n_layers,
         cfg.mm_layers, cfg.ii_topk, cfg.lambda_coeff,
         compute_dtype=cfg.graph_compute_dtype,
