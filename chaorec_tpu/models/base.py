@@ -185,6 +185,18 @@ class RecModel:
     # materializing a full-table dense gradient every step. ---
     table_params: Tuple[str, ...] = ()
 
+    # --- params whose gradient is nonzero ONLY on each epoch's first
+    # batch (graph-rebuild-gated subtrees: LATTICE/MICRO recompute their
+    # learned item graphs when batch.index == 0 and detach the carried
+    # graph otherwise, train_and_evaluate.py:98-103 + Model/LATTICE.py:
+    # 137-158). torch Adam SKIPS params whose .grad is None after
+    # zero_grad(set_to_none) — no update, no moment decay — so the
+    # trainer applies Adam to this subtree under lax.cond(index == 0):
+    # exact reference semantics, and the (often tens-of-MB-to-GB) Adam
+    # HBM sweep over trainable feature tables runs once per epoch
+    # instead of every step. ---
+    epoch0_params: Tuple[str, ...] = ()
+
     def table_rows(self, batch: Batch):
         """{table_name: (B,) row indices} this batch's loss touches."""
         raise NotImplementedError

@@ -50,6 +50,11 @@ def dense_norm_laplacian(adj: jnp.ndarray) -> jnp.ndarray:
 class LATTICE(RecModel):
     name = "LATTICE"
     stateful = True
+    # Gradients reach these ONLY through the batch-0 item-graph rebuild
+    # (the carried graph is detached otherwise, Model/LATTICE.py:137-158)
+    # — torch Adam skips them off batch 0; see base.py epoch0_params.
+    epoch0_params = ("v_feat", "t_feat", "image_trs_w", "image_trs_b",
+                     "text_trs_w", "text_trs_b", "modal_weight")
 
     # dense (I, I) bf16 item-graph budget: beyond this the carried state
     # stays in ELL (vals, idx) form (microlens 14079 items = 396 MB bf16)
@@ -192,19 +197,27 @@ class LATTICE(RecModel):
         return acc_u * s, acc_i * s + l2norm(h)
 
     def loss_stateful(self, params: Params, state, batch: Batch, rng: jax.Array):
-        item_adj = jax.lax.cond(
+        # The WHOLE loss sits under the rebuild cond, not just the graph
+        # choice: in the frozen branch item_adj is a stop_gradient
+        # constant, so its VJP never materializes the (I, I) cotangent
+        # (793 MB fp32 on microlens) that a graph-level cond would form
+        # on EVERY step to feed the batch-0 branch's build VJP.
+        def _loss_with(item_adj):
+            fu, fi = self._forward(params, item_adj)
+            u = fu[batch.users]
+            pos = fi[batch.pos_items]
+            neg = fi[batch.neg_items]
+            w = batch.weights
+            total = bpr_loss(jnp.sum(u * pos, 1), jnp.sum(u * neg, 1), w,
+                             eps=1e-5)
+            total = total + emb_l2_reg(self.reg_weight, (u, pos, neg), w)
+            return total, jax.lax.stop_gradient(item_adj)
+
+        return jax.lax.cond(
             batch.index == 0,
-            lambda: self._build_item_adj(params),
-            lambda: jax.lax.stop_gradient(state),
+            lambda: _loss_with(self._build_item_adj(params)),
+            lambda: _loss_with(jax.lax.stop_gradient(state)),
         )
-        fu, fi = self._forward(params, item_adj)
-        u = fu[batch.users]
-        pos = fi[batch.pos_items]
-        neg = fi[batch.neg_items]
-        w = batch.weights
-        total = bpr_loss(jnp.sum(u * pos, 1), jnp.sum(u * neg, 1), w, eps=1e-5)
-        total = total + emb_l2_reg(self.reg_weight, (u, pos, neg), w)
-        return total, jax.lax.stop_gradient(item_adj)
 
     def embeddings_stateful(self, params: Params, state):
         return self._forward(params, state)

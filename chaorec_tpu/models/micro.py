@@ -63,6 +63,11 @@ def full_catalog_cl(z1, z2, tau, fast: bool = False):
 class MICRO(RecModel):
     name = "MICRO"
     stateful = True
+    # Gradients reach these ONLY through the batch-0 modal-graph rebuild
+    # (Model/MICRO.py:118-137; the carried ELL graphs are detached off
+    # batch 0) — torch Adam skips them there; see base.py epoch0_params.
+    epoch0_params = ("v_feat", "t_feat", "image_trs_w", "image_trs_b",
+                     "text_trs_w", "text_trs_b")
 
     def __init__(self, num_user, num_item, graph: BipartiteGraph, v_feat,
                  t_feat, dim_E, n_layers, reg_weight, ii_topk, mm_layers,

@@ -190,8 +190,38 @@ def _jitted_epoch(optimizer, batch_size: int, neg_candidates: int,
                 (loss, mstate), grads = jax.value_and_grad(
                     model.loss_stateful, has_aux=True
                 )(params, mstate, batch, loss_rng)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                e0 = tuple(model.epoch0_params)
+                if e0:
+                    # Rebuild-gated subtree: grads are identically zero
+                    # off batch 0 (the carried graph is detached), and
+                    # torch Adam skips no-grad params entirely — update
+                    # it only when the rebuild ran (see base.py).
+                    main_state, gate_state = opt_state
+                    p_main = {k: v for k, v in params.items()
+                              if k not in e0}
+                    g_main = {k: v for k, v in grads.items()
+                              if k not in e0}
+                    updates, main_state = optimizer.update(
+                        g_main, main_state, p_main)
+                    p_main = optax.apply_updates(p_main, updates)
+                    p_gate = {k: params[k] for k in e0}
+                    g_gate = {k: grads[k] for k in e0}
+
+                    def _gate_apply(_):
+                        u, s = optimizer.update(g_gate, gate_state, p_gate)
+                        return optax.apply_updates(p_gate, u), s
+
+                    def _gate_skip(_):
+                        return p_gate, gate_state
+
+                    p_gate, gate_state = jax.lax.cond(
+                        idx == 0, _gate_apply, _gate_skip, None)
+                    params = {**p_main, **p_gate}
+                    opt_state = (main_state, gate_state)
+                else:
+                    updates, opt_state = optimizer.update(
+                        grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
             else:
                 loss, grads = jax.value_and_grad(model.loss)(
                     params, batch, loss_rng
@@ -278,6 +308,14 @@ class Trainer:
         leaves here (the shared optimizer is constructed lr-agnostic)."""
         lr = float(self.cfg.learning_rate)
         table_names = tuple(self.model.table_params)
+        e0 = tuple(self.model.epoch0_params)
+        if e0 and not table_names:
+            # (main_state, gated_state) pair mirroring _jitted_epoch's
+            # rebuild-gated split (base.py epoch0_params).
+            main = {k: v for k, v in params.items() if k not in e0}
+            gate = {k: params[k] for k in e0}
+            return (_set_injected_lr(self.optimizer.init(main), lr),
+                    _set_injected_lr(self.optimizer.init(gate), lr))
         if not table_names:
             return _set_injected_lr(self.optimizer.init(params), lr)
         from chaorec_tpu.ops.indexed_adam import init_table_state

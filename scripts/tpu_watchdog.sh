@@ -13,6 +13,13 @@
 #   echo $! > /tmp/watchdog.pid
 cd /root/repo
 while [ ! -f parity_logs/.done/ALL ]; do
+  # A live queue instance means the tunnel is fine — do NOT spin up a
+  # probe client against the relay every loop iteration (each probe is
+  # a fresh TPU client init contending with the queue's own work).
+  if ! flock -n /tmp/quality_r2.lock true 2>/dev/null; then
+    sleep 120
+    continue
+  fi
   if timeout 330 python -c "
 from chaorec_tpu.elastic import probe_backend
 p = probe_backend(300)

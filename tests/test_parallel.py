@@ -604,6 +604,7 @@ def test_sharded_lattice_step_matches_single_device(tiny_dataset):
     learned dense (I, I) item adjacency across the mesh and rebuilds it
     on batch.index == 0 inside the jit; step == single-device."""
     from chaorec_tpu.parallel.mesh import (
+        init_stateful_opt_state,
         make_sharded_stateful_step,
         shard_state,
     )
@@ -628,7 +629,8 @@ def test_sharded_lattice_step_matches_single_device(tiny_dataset):
 
     mesh1 = make_mesh(1)
     step1 = make_sharded_stateful_step(model, opt, mesh1)
-    p1, _, s1, loss1 = step1(params, opt.init(params), mstate, batch, rng)
+    p1, _, s1, loss1 = step1(params, init_stateful_opt_state(model, opt, params),
+                             mstate, batch, rng)
 
     model = build_model(cfg, ds)  # fresh: donation consumed aliased buffers
     params = model.init_params(jax.random.PRNGKey(0))
@@ -636,7 +638,8 @@ def test_sharded_lattice_step_matches_single_device(tiny_dataset):
     mesh = make_mesh(8)
     p_sh = shard_params(params, mesh)
     step8 = make_sharded_stateful_step(model, opt, mesh)
-    p8, _, s8, loss8 = step8(p_sh, opt.init(p_sh), shard_state(mstate, mesh),
+    p8, _, s8, loss8 = step8(p_sh, init_stateful_opt_state(model, opt, p_sh),
+                             shard_state(mstate, mesh),
                              shard_batch(batch, mesh), rng)
 
     np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-4)
