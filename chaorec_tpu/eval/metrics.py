@@ -82,22 +82,24 @@ def compute_metrics(
     }
 
 
-_SPLIT_CACHE: dict = {}
-
-
 def _split_arrays(dataset, split: str):
-    """Device-resident ground truth per split, uploaded once per dataset."""
-    key = (id(dataset), split)
-    if key not in _SPLIT_CACHE:
+    """Device-resident ground truth per split, uploaded once per dataset.
+
+    The cache lives ON the dataset object (not in a module dict keyed by
+    ``id()``): Python reuses ids after GC, so a process-global id-keyed
+    cache could silently alias two datasets in one grid run.
+    """
+    cache = dataset.__dict__.setdefault("_split_device_cache", {})
+    if split not in cache:
         pos = dataset.val_pos if split == "val" else dataset.test_pos
         users = dataset.val_users if split == "val" else dataset.test_users
         pos_global = jnp.asarray(
             np.where(pos.values >= 0, pos.values + dataset.num_user, -1)
         )
-        _SPLIT_CACHE[key] = (
+        cache[split] = (
             jnp.asarray(users), pos_global, jnp.asarray(pos.lengths)
         )
-    return _SPLIT_CACHE[key]
+    return cache[split]
 
 
 def gene_metrics(dataset, rank_list, k_list, split: str = "val"):

@@ -189,12 +189,17 @@ class RecModel:
     # batch (graph-rebuild-gated subtrees: LATTICE/MICRO recompute their
     # learned item graphs when batch.index == 0 and detach the carried
     # graph otherwise, train_and_evaluate.py:98-103 + Model/LATTICE.py:
-    # 137-158). torch Adam SKIPS params whose .grad is None after
-    # zero_grad(set_to_none) — no update, no moment decay — so the
-    # trainer applies Adam to this subtree under lax.cond(index == 0):
-    # exact reference semantics, and the (often tens-of-MB-to-GB) Adam
-    # HBM sweep over trainable feature tables runs once per epoch
-    # instead of every step. ---
+    # 137-158). The reference pins torch 1.11, where zero_grad()
+    # defaults to set_to_none=False: after batch 0's backward populates
+    # .grad, every later batch re-zeroes the tensor and Adam KEEPS
+    # stepping the subtree with g = 0 (momentum-decay drift, per-batch
+    # step count). The trainer reproduces this exactly with a real
+    # update under lax.cond(index == 0) plus the fused closed-form
+    # zero-grad tail at epoch end (ops/adam_tail.py) — the
+    # tens-of-MB-to-GB Adam HBM sweep over trainable feature tables
+    # runs once per epoch instead of every step. Declaring this is
+    # only valid when the subtree's VALUES are never read off batch 0
+    # (the carried graph is the only consumer). ---
     epoch0_params: Tuple[str, ...] = ()
 
     def table_rows(self, batch: Batch):

@@ -51,8 +51,9 @@ class LATTICE(RecModel):
     name = "LATTICE"
     stateful = True
     # Gradients reach these ONLY through the batch-0 item-graph rebuild
-    # (the carried graph is detached otherwise, Model/LATTICE.py:137-158)
-    # — torch Adam skips them off batch 0; see base.py epoch0_params.
+    # (the carried graph is detached otherwise, Model/LATTICE.py:137-158);
+    # off batch 0 they get torch 1.11's zero-grad Adam drift via the
+    # closed-form tail — see base.py epoch0_params.
     epoch0_params = ("v_feat", "t_feat", "image_trs_w", "image_trs_b",
                      "text_trs_w", "text_trs_b", "modal_weight")
 

@@ -65,7 +65,8 @@ class MICRO(RecModel):
     stateful = True
     # Gradients reach these ONLY through the batch-0 modal-graph rebuild
     # (Model/MICRO.py:118-137; the carried ELL graphs are detached off
-    # batch 0) — torch Adam skips them there; see base.py epoch0_params.
+    # batch 0); off batch 0 they get torch 1.11's zero-grad Adam drift
+    # via the closed-form tail — see base.py epoch0_params.
     epoch0_params = ("v_feat", "t_feat", "image_trs_w", "image_trs_b",
                      "text_trs_w", "text_trs_b")
 

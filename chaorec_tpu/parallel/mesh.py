@@ -128,14 +128,14 @@ def shard_state(state, mesh: Mesh):
 def init_stateful_opt_state(model: RecModel,
                             optimizer: optax.GradientTransformation,
                             params):
-    """Opt state for make_sharded_stateful_step — the (main, gated) pair
-    when the model declares rebuild-gated epoch0_params (base.py),
-    matching train/loop.py's single-device schema."""
-    e0 = tuple(model.epoch0_params)
-    if e0:
-        return (optimizer.init({k: v for k, v in params.items()
-                                if k not in e0}),
-                optimizer.init({k: params[k] for k in e0}))
+    """Opt state for make_sharded_stateful_step: one flat Adam state."""
+    # epoch0_params need no split here: torch 1.11 Adam
+    # (zero_grad(set_to_none=False), reference main.py:397) steps the
+    # rebuild-gated subtree on EVERY batch with g = 0 after batch 0, and
+    # a single ungated optax Adam over all params — whose gated grads
+    # are identically zero off batch 0 — reproduces that exactly at
+    # per-batch granularity. (The single-device trainer gets the same
+    # trajectory via the fused closed-form tail, train/loop.py.)
     return optimizer.init(params)
 
 
@@ -151,33 +151,12 @@ def make_sharded_stateful_step(model: RecModel,
         (loss, mstate), grads = jax.value_and_grad(
             model.loss_stateful, has_aux=True
         )(params, mstate, batch, rng)
-        e0 = tuple(model.epoch0_params)
-        if e0:
-            # Mirror the single-device trainer's rebuild-gated Adam
-            # (train/loop.py; base.py epoch0_params): opt_state is the
-            # (main_state, gated_state) pair, the gated subtree updates
-            # only on each epoch's first batch.
-            main_state, gate_state = opt_state
-            p_main = {k: v for k, v in params.items() if k not in e0}
-            g_main = {k: v for k, v in grads.items() if k not in e0}
-            updates, main_state = optimizer.update(g_main, main_state,
-                                                   p_main)
-            p_main = optax.apply_updates(p_main, updates)
-            p_gate = {k: params[k] for k in e0}
-            g_gate = {k: grads[k] for k in e0}
-
-            def _apply(_):
-                u, s = optimizer.update(g_gate, gate_state, p_gate)
-                return optax.apply_updates(p_gate, u), s
-
-            p_gate, gate_state = jax.lax.cond(
-                batch.index == 0, _apply, lambda _: (p_gate, gate_state),
-                None)
-            params = {**p_main, **p_gate}
-            opt_state = (main_state, gate_state)
-        else:
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+        # Ungated update over ALL params: the rebuild-gated subtree's
+        # grads are identically zero off batch 0 and torch 1.11 Adam
+        # (set_to_none=False) steps it every batch regardless — see
+        # init_stateful_opt_state.
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
         return params, opt_state, mstate, loss
 
     # No donation: stateful models alias feature tables between the model

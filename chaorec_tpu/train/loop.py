@@ -40,6 +40,13 @@ from chaorec_tpu.data.sampling import make_epoch_batches, sample_negatives
 from chaorec_tpu.eval.metrics import gene_metrics
 from chaorec_tpu.eval.ranking import gene_ranklist
 from chaorec_tpu.models.base import Batch, RecModel
+from chaorec_tpu.ops.adam_tail import tree_zero_grad_adam_tail
+
+# torch.optim.Adam defaults (main.py:397); shared by the injected main
+# optimizer (_shared_inject_adam) and the rebuild-gated manual path.
+_ADAM_B1 = 0.9
+_ADAM_B2 = 0.999
+_ADAM_EPS = 1e-8
 
 
 class EarlyStopping:
@@ -192,11 +199,19 @@ def _jitted_epoch(optimizer, batch_size: int, neg_candidates: int,
                 )(params, mstate, batch, loss_rng)
                 e0 = tuple(model.epoch0_params)
                 if e0:
-                    # Rebuild-gated subtree: grads are identically zero
-                    # off batch 0 (the carried graph is detached), and
-                    # torch Adam skips no-grad params entirely — update
-                    # it only when the rebuild ran (see base.py).
-                    main_state, gate_state = opt_state
+                    # Rebuild-gated subtree: the real gradient exists
+                    # only on batch 0 (the carried graph is detached
+                    # elsewhere), but the reference's torch 1.11 Adam
+                    # (zero_grad(set_to_none=False), main.py:397) keeps
+                    # stepping these params with g = 0 on every later
+                    # batch — momentum-decay drift plus a per-batch
+                    # step-count increment. We apply the real update
+                    # here and the EXACT closed-form zero-grad tail
+                    # once after the scan (ops/adam_tail.py); the gated
+                    # values are never read off batch 0 (carried state
+                    # is stop_gradient'd), so deferring the tail inside
+                    # the epoch is equivalent.
+                    main_state, (gmu, gnu, gcount, glr) = opt_state
                     p_main = {k: v for k, v in params.items()
                               if k not in e0}
                     g_main = {k: v for k, v in grads.items()
@@ -205,19 +220,30 @@ def _jitted_epoch(optimizer, batch_size: int, neg_candidates: int,
                         g_main, main_state, p_main)
                     p_main = optax.apply_updates(p_main, updates)
                     p_gate = {k: params[k] for k in e0}
-                    g_gate = {k: grads[k] for k in e0}
+                    # torch per-param `step` counts EVERY batch (the
+                    # zeroed grad is not None), not just rebuilds.
+                    gcount = gcount + 1
 
-                    def _gate_apply(_):
-                        u, s = optimizer.update(g_gate, gate_state, p_gate)
-                        return optax.apply_updates(p_gate, u), s
+                    def _gate_apply(args):
+                        p_g, mu, nu = args
+                        t = gcount.astype(jnp.float32)
+                        out_p, out_mu, out_nu = {}, {}, {}
+                        for k in e0:
+                            g = grads[k]
+                            m = _ADAM_B1 * mu[k] + (1 - _ADAM_B1) * g
+                            v = _ADAM_B2 * nu[k] + (1 - _ADAM_B2) * g * g
+                            mhat = m / (1 - _ADAM_B1 ** t)
+                            vhat = v / (1 - _ADAM_B2 ** t)
+                            out_p[k] = p_g[k] - glr * mhat / (
+                                jnp.sqrt(vhat) + _ADAM_EPS)
+                            out_mu[k], out_nu[k] = m, v
+                        return out_p, out_mu, out_nu
 
-                    def _gate_skip(_):
-                        return p_gate, gate_state
-
-                    p_gate, gate_state = jax.lax.cond(
-                        idx == 0, _gate_apply, _gate_skip, None)
+                    p_gate, gmu, gnu = jax.lax.cond(
+                        idx == 0, _gate_apply, lambda a: a,
+                        (p_gate, gmu, gnu))
                     params = {**p_main, **p_gate}
-                    opt_state = (main_state, gate_state)
+                    opt_state = (main_state, (gmu, gnu, gcount, glr))
                 else:
                     updates, opt_state = optimizer.update(
                         grads, opt_state, params)
@@ -235,6 +261,20 @@ def _jitted_epoch(optimizer, batch_size: int, neg_candidates: int,
             (users, pos, weights,
              jnp.arange(users.shape[0], dtype=jnp.int32)),
         )
+        e0 = tuple(model.epoch0_params) if stateful else ()
+        if e0 and not table_names:
+            # The n_batches-1 zero-gradient Adam updates torch 1.11
+            # applies to the gated subtree (set_to_none=False), as one
+            # fused closed-form pass instead of a full HBM sweep of the
+            # feature tables per batch (ops/adam_tail.py).
+            main_state, (gmu, gnu, gcount, glr) = opt_state
+            n_tail = users.shape[0] - 1
+            p_gate = {k: params[k] for k in e0}
+            p_gate, gmu, gnu = tree_zero_grad_adam_tail(
+                p_gate, gmu, gnu, gcount - n_tail, n_tail, glr,
+                _ADAM_B1, _ADAM_B2, _ADAM_EPS)
+            params = {**params, **p_gate}
+            opt_state = (main_state, (gmu, gnu, gcount, glr))
         return params, opt_state, mstate, rng, jnp.sum(losses)
 
     return jax.jit(epoch, donate_argnums=(1, 2))
@@ -309,13 +349,22 @@ class Trainer:
         lr = float(self.cfg.learning_rate)
         table_names = tuple(self.model.table_params)
         e0 = tuple(self.model.epoch0_params)
-        if e0 and not table_names:
-            # (main_state, gated_state) pair mirroring _jitted_epoch's
-            # rebuild-gated split (base.py epoch0_params).
+        if e0 and table_names:
+            raise ValueError(
+                f"{self.model.name}: table_params and epoch0_params are "
+                "mutually exclusive (the row-sparse path has no "
+                "rebuild-gated schema)")
+        if e0:
+            # (main_state, (mu, nu, torch_step_count, lr)) pair
+            # mirroring _jitted_epoch's rebuild-gated split: real Adam
+            # update on each epoch's batch 0 plus the closed-form
+            # zero-grad tail (torch 1.11 set_to_none=False semantics).
             main = {k: v for k, v in params.items() if k not in e0}
-            gate = {k: params[k] for k in e0}
             return (_set_injected_lr(self.optimizer.init(main), lr),
-                    _set_injected_lr(self.optimizer.init(gate), lr))
+                    ({k: jnp.zeros_like(params[k]) for k in e0},
+                     {k: jnp.zeros_like(params[k]) for k in e0},
+                     jnp.zeros((), jnp.int32),
+                     jnp.asarray(lr, jnp.float32)))
         if not table_names:
             return _set_injected_lr(self.optimizer.init(params), lr)
         from chaorec_tpu.ops.indexed_adam import init_table_state
@@ -498,10 +547,14 @@ class Trainer:
         # the unpipelined loop (same computations, resolved in order); the
         # only difference is that when early stopping triggers, one already-
         # dispatched epoch's device work is discarded unlogged. Disabled
-        # whenever an epoch must be observed before the next one starts:
-        # checkpointing (exact-continuation), export (best-weight snapshots),
-        # profiling (clean trace windows).
-        pipeline = (cfg.eval_pipeline and ckpt is None
+        # whenever EVERY epoch must be observed before the next one starts:
+        # export (best-weight snapshots), profiling (clean trace windows).
+        # Checkpointing coexists with the pipeline: at each checkpoint
+        # boundary the pending entry is resolved early (a one-epoch drain)
+        # so the saved early-stop state covers exactly the epochs the
+        # saved params do — exact continuation, while the other
+        # checkpoint_every-1 epochs stay pipelined.
+        pipeline = (cfg.eval_pipeline
                     and not cfg.export_artifact and not cfg.profile_dir)
 
         def finish(entry) -> bool:
@@ -557,10 +610,18 @@ class Trainer:
                 "loss": loss, "dispatch_s": time.perf_counter() - t0,
                 "params": params, "mstate": self.model_state,
             }
+            at_ckpt = (ckpt is not None
+                       and (epoch + 1) % cfg.checkpoint_every == 0)
             if pipeline:
                 if pending is not None:
                     stopped = finish(pending)
                 pending = entry
+                if at_ckpt and not stopped:
+                    # Drain the pipeline at the boundary: the saved
+                    # early-stop state then covers epoch `epoch`
+                    # itself, matching the saved params exactly.
+                    stopped = finish(pending)
+                    pending = None
             else:
                 stopped = finish(entry)
 
@@ -568,7 +629,7 @@ class Trainer:
                 jax.profiler.stop_trace()
                 logging.info("profiler trace written to %s", cfg.profile_dir)
 
-            if ckpt is not None and (epoch + 1) % cfg.checkpoint_every == 0:
+            if at_ckpt and (not pipeline or pending is None):
                 ckpt.save(
                     epoch + 1,
                     {"params": params, "opt_state": opt_state,

@@ -1,4 +1,4 @@
-"""Summarize a jax.profiler trace: top device ops by total duration.
+"""Summarize a jax.profiler trace: top device ops by SELF duration.
 
 Reads the newest ``plugins/profile/<run>/*.trace.json.gz`` under the
 given directory and aggregates event durations per op name on the
@@ -6,6 +6,11 @@ device tracks (pids whose process name mentions TPU/device), printing
 the top-N with total ms, call count and share of device time. This is
 the cheap first-look that says WHERE an epoch's device time goes before
 opening the full trace in xprof.
+
+XLA op traces nest sub-ops under parent regions on the same track, so
+summing every complete event double-counts parents; aggregation is by
+self time (event duration minus the durations of its direct children,
+computed with an interval stack per track).
 
 Usage: python scripts/summarize_trace.py /tmp/lattice_prof [top_n]
 """
@@ -15,6 +20,29 @@ import json
 import sys
 from collections import defaultdict
 from pathlib import Path
+
+
+def track_self_times(track):
+    """[(ts, dur, name)] -> yields (name, self_dur) per event.
+
+    Events on one timeline nest (trace-complete semantics); a sweep in
+    start order with an interval stack attributes each event's duration
+    minus its direct children's to itself.
+    """
+    # parents sort before their children: earlier start first; at equal
+    # start, longer duration first
+    track.sort(key=lambda e: (e[0], -e[1]))
+    stack = []  # [end_ts, name, dur, child_dur_sum]
+    for ts, dur, name in track:
+        while stack and ts >= stack[-1][0] - 1e-9:
+            end, pname, pdur, child = stack.pop()
+            yield pname, max(0.0, pdur - child)
+        if stack:
+            stack[-1][3] += dur
+        stack.append([ts + dur, name, dur, 0.0])
+    while stack:
+        end, pname, pdur, child = stack.pop()
+        yield pname, max(0.0, pdur - child)
 
 
 def main() -> None:
@@ -35,22 +63,29 @@ def main() -> None:
             pid_name[ev["pid"]] = ev["args"].get("name", "")
     dev_pids = {p for p, n in pid_name.items()
                 if "TPU" in n or "device" in n.lower()}
-    agg = defaultdict(lambda: [0.0, 0])
-    total = 0.0
+    by_track = defaultdict(list)
+    counts = defaultdict(int)
     for ev in events:
         if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
             continue
         name = ev.get("name", "?")
-        dur = ev.get("dur", 0) / 1e3  # us -> ms
-        agg[name][0] += dur
-        agg[name][1] += 1
-        total += dur
+        counts[name] += 1
+        by_track[(ev["pid"], ev.get("tid"))].append(
+            (float(ev.get("ts", 0.0)), float(ev.get("dur", 0.0)), name))
+    agg = defaultdict(float)
+    total = 0.0
+    for track in by_track.values():
+        for name, self_us in track_self_times(track):
+            ms = self_us / 1e3
+            agg[name] += ms
+            total += ms
     print(f"trace: {path}")
     print(f"device tracks: {[pid_name[p] for p in sorted(dev_pids)]}")
-    print(f"total device op time: {total:.1f} ms")
+    print(f"total device self time: {total:.1f} ms")
     print(f"{'op':<72} {'ms':>10} {'calls':>7} {'%':>6}")
-    for name, (ms, n) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:top_n]:
-        print(f"{name[:72]:<72} {ms:10.2f} {n:7d} {100*ms/max(total,1e-9):6.1f}")
+    for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:top_n]:
+        print(f"{name[:72]:<72} {ms:10.2f} {counts[name]:7d} "
+              f"{100 * ms / max(total, 1e-9):6.1f}")
 
 
 if __name__ == "__main__":

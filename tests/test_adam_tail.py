@@ -52,9 +52,15 @@ def test_tail_matches_optax_loop(rng, n_steps, count0):
     got_p, got_mu, got_nu = zero_grad_adam_tail(
         p, mu, nu, jnp.int32(count0), n_steps, lr, B1, B2, EPS)
 
+    # The closed form evaluates b^k with one fp32 pow per step index
+    # while the literal loop multiplies k times; each fp32 multiply
+    # contributes up to 2^-24 relative error, so the loop's moments
+    # drift from the (more accurate) closed form by ~n_steps * 6e-8.
+    # rtol scales accordingly (measured: 1.03e-6 at n_steps=64).
+    mom_rtol = 1e-6 + 6e-8 * n_steps
     np.testing.assert_allclose(got_p, want_p, rtol=2e-6, atol=1e-7)
-    np.testing.assert_allclose(got_mu, want_mu, rtol=1e-6)
-    np.testing.assert_allclose(got_nu, want_nu, rtol=1e-6)
+    np.testing.assert_allclose(got_mu, want_mu, rtol=mom_rtol)
+    np.testing.assert_allclose(got_nu, want_nu, rtol=mom_rtol)
 
 
 def test_tail_never_touched_elements_stay_put(rng):
