@@ -42,6 +42,34 @@ from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
 from chaorec_tpu.ops.init import torch_linear_init, xavier_normal
 from chaorec_tpu.ops.losses import l2norm, masked_mean
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _draw_eval_subsets(hist, rng, num_item: int, sl: int):
+    """Random sl-subset of each user's padded history, device-side.
+
+    Vectorizes the reference EvalDataset draw (dataload.py:124-145):
+    shuffle the history, truncate/pad to ``sl``, prepend the user slot.
+    Padded positions carry item 0 and mask True — the reference pads
+    with ``num_user`` then subtracts the offset, landing on index 0 too.
+    """
+    n_user, H = hist.shape
+    valid = hist < num_item
+    pri = jnp.where(valid, jax.random.uniform(rng, (n_user, H)), jnp.inf)
+    idx = jnp.argsort(pri, axis=1)[:, :min(sl, H)]
+    items = jnp.take_along_axis(hist, idx, axis=1)
+    ok = jnp.take_along_axis(valid, idx, axis=1)
+    if H < sl:  # histories shorter than the eval window: pad out
+        pad = sl - H
+        items = jnp.pad(items, ((0, 0), (0, pad)))
+        ok = jnp.pad(ok, ((0, 0), (0, pad)))
+    ev_items = jnp.concatenate(
+        [jnp.zeros((n_user, 1), jnp.int32),
+         jnp.where(ok, items, 0).astype(jnp.int32)], axis=1)
+    ev_mask = jnp.concatenate(
+        [jnp.zeros((n_user, 1), bool), ~ok], axis=1)
+    return ev_items, ev_mask
 
 
 class LightGT(RecModel):
@@ -64,21 +92,22 @@ class LightGT(RecModel):
         self.v_feat = l2norm(v_feat)  # F.normalize at init
         self.t_feat = l2norm(t_feat)
         self.hist = history_values  # (U, H) item ids, fill = num_item
-        # ----- fixed eval sequences (random 20-subset per user, drawn once)
-        rs = np.random.default_rng(seed)
-        hist_np = np.asarray(history_values)
-        sl = self.eval_src_len
-        ev_items = np.zeros((num_user, sl + 1), np.int32)
-        ev_mask = np.ones((num_user, sl + 1), bool)
-        ev_mask[:, 0] = False  # user slot always valid
-        for u in range(num_user):
-            items = hist_np[u][hist_np[u] < num_item]
-            rs.shuffle(items)
-            items = items[:sl]
-            ev_items[u, 1:1 + len(items)] = items
-            ev_mask[u, 1:1 + len(items)] = False
-        self.eval_items = jnp.asarray(ev_items)
-        self.eval_mask = jnp.asarray(ev_mask)
+        # ----- eval sequences: random 20-subset per user, REDRAWN on
+        # every eval pass like the reference's EvalDataset __getitem__
+        # reshuffle (dataload.py:124-145); deterministic stream keyed on
+        # (seed, draw counter). The trainer calls resample_eval() before
+        # each ranking pass (train/loop.py evaluate_async).
+        self._eval_seed = seed
+        self._eval_draws = 0
+        self.resample_eval()
+
+    def resample_eval(self) -> None:
+        """Draw fresh per-user eval subsequences (device-side)."""
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(self._eval_seed), self._eval_draws)
+        self._eval_draws += 1
+        self.eval_items, self.eval_mask = _draw_eval_subsets(
+            jnp.asarray(self.hist), rng, self.num_item, self.eval_src_len)
 
     # ------------------------------------------------------------------
     def init_params(self, rng: jax.Array) -> Params:

@@ -413,6 +413,10 @@ class Trainer:
         Deferring the resolve lets the run loop overlap the fetch round
         trip with the NEXT epoch's device work (one-epoch-deep pipeline)."""
         if self.model.rank_mode == "scores":
+            # per-eval-pass redraws (LightGT's eval subsequences mirror
+            # the reference EvalDataset reshuffle, dataload.py:124-145)
+            if hasattr(self.model, "resample_eval"):
+                self.model.resample_eval()
             rank_list = self._rank_from_scores(params)
         else:
             user_emb, item_emb = self._embeddings_fn(

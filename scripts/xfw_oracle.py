@@ -66,7 +66,8 @@ def build_sandbox(data_path: str) -> Path:
         sys.path.insert(0, str(REPO))
         from chaorec_tpu.data.loading import data_load
 
-        ds = data_load(data_path, data_root=str(REF / "Data"))
+        ds = data_load(data_path, data_root=str(REF / "Data"),
+                       has_v=True, has_t=True)
         for name, arr in (("v_feat.npy", ds.v_feat), ("t_feat.npy", ds.t_feat)):
             if name in need and arr is not None:
                 import numpy as np

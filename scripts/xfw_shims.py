@@ -48,6 +48,34 @@ def install_cpu_patches() -> None:
 
     torch.optim.Optimizer.zero_grad = zero_grad_torch111  # type: ignore
 
+    # python 3.11+ removed random.sample over sets (dataload.py:77,
+    # Model/FREEDOM.py...) — restore the old behavior
+    import random as _random
+
+    orig_sample = _random.sample
+
+    def sample_any(population, k, *a, **kw):
+        if isinstance(population, (set, frozenset)):
+            population = tuple(population)
+        return orig_sample(population, k, *a, **kw)
+
+    _random.sample = sample_any
+
+    # scipy >= 1.14 removed the `.A` densify alias the reference uses
+    # (dataload.py:167, Model/MMSSL.py:186 ...)
+    import scipy.sparse as sp
+
+    for cls in (sp.coo_matrix, sp.csr_matrix, sp.csc_matrix,
+                sp.lil_matrix, sp.dok_matrix):
+        if not hasattr(cls, "A"):
+            cls.A = property(lambda self: self.toarray())
+
+    # torch 2.x removed the legacy torch.sparse.FloatTensor constructor
+    if not hasattr(torch.sparse, "FloatTensor"):
+        torch.sparse.FloatTensor = (  # type: ignore
+            lambda indices, values, size: torch.sparse_coo_tensor(
+                indices, values, tuple(size)))
+
 
 # ------------------------------------------------- torch_geometric
 class MessagePassing(torch.nn.Module):
@@ -232,7 +260,11 @@ def install_module_shims() -> None:
         softmax=pyg_softmax, dropout_adj=dropout_adj)
     tg.nn = tg_nn
     tg.utils = tg_utils
-    _stub_module("torch_sparse", spmm=_spmm)
+    def _coalesce(index, value, m, n, op="add"):
+        sp = torch.sparse_coo_tensor(index, value, (m, n)).coalesce()
+        return sp.indices(), sp.values()
+
+    _stub_module("torch_sparse", spmm=_spmm, coalesce=_coalesce)
     _stub_module("torch_scatter", scatter_add=_scatter_add)
 
     class _FaissKmeans:
