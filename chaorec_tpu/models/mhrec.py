@@ -190,7 +190,10 @@ class MHRec(RecModel):
 
         flat = h_nodes.reshape(-1).astype(jnp.int32)
         perm, ptr = build_segment_transpose(flat, self.num_nodes + 1)
-        return flat, perm, ptr
+        # per-rebuild constant: hyperedge id of each segment-ordered slot
+        # (row-major flatten => slot m belongs to edge m // k)
+        edge_perm = (perm // h_nodes.shape[1]).astype(jnp.int32)
+        return flat, perm, ptr, edge_perm
 
     def _hyper_attn(self, a, h_nodes, layout, x):
         """HypergraphAttentionLayer (Model/MHRec.py:37-89) on the rebuilt
@@ -199,16 +202,24 @@ class MHRec(RecModel):
         the epoch-precomputed ``layout`` (seg_sum/seg_gather custom-VJP
         pair) so neither the forward nor the gradient emits an XLA
         scatter."""
-        from chaorec_tpu.ops.ell import seg_gather, seg_sum
+        from chaorec_tpu.ops.ell import (
+            seg_edge_weighted_sum,
+            seg_gather,
+        )
 
         he, k = h_nodes.shape
-        flat, perm, ptr = layout
+        flat, perm, ptr, edge_perm = layout
         x_pad = jnp.concatenate(
             [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
-        xi = seg_gather(x_pad, flat, perm, ptr).reshape(he, k, -1)
-        edge_emb = jnp.sum(xi, axis=1)  # E = H^T X
-        ej = jnp.broadcast_to(edge_emb[:, None, :], xi.shape)
-        e = (jnp.concatenate([xi, ej], axis=-1) @ a)[..., 0]  # (He, k)
+        d = x.shape[1]
+        xi = seg_gather(x_pad, flat, perm, ptr)  # (M, D) flat slot order
+        edge_emb = jnp.sum(xi.reshape(he, k, d), axis=1)  # E = H^T X
+        # a = [a_self; a_edge]: score_{e,k} = x_{node} . a_self +
+        # edge_emb_e . a_edge — two thin matvecs instead of the
+        # reference's concat([x_i, e_j]) @ a over a materialized
+        # (He, k, 2D) tensor (identical math, Model/MHRec.py:57-63).
+        e = ((xi @ a[:d]).reshape(he, k)
+             + (edge_emb @ a[d:]))  # (He,k) + (He,1) broadcast
         e_exp = jnp.exp(e)
         # Scalar NON-NEGATIVE softmax denominators stay on segment_sum:
         # the prefix-sum trick's error scales with the global total of
@@ -220,8 +231,10 @@ class MHRec(RecModel):
             e_exp.reshape(-1), flat, num_segments=int(ptr.shape[0]) - 1)
         denom = seg_gather(sums[:, None], flat, perm, ptr).reshape(he, k)
         alpha = e_exp / (denom + 1e-16)
-        msg = (alpha[..., None] * ej).reshape(-1, x.shape[1])
-        return seg_sum(msg, flat, perm, ptr)[:self.num_nodes]
+        # fused alpha-weighted edge-message aggregation: never
+        # materializes the (He*k, D) message tensor
+        return seg_edge_weighted_sum(
+            edge_emb, alpha, flat, perm, edge_perm, ptr)[:self.num_nodes]
 
     def _gcn_mean(self, xu, xi):
         us, its = [xu], [xi]

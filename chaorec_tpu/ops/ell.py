@@ -418,6 +418,59 @@ def _seg_gather_bwd(res, g):
 seg_gather.defvjp(_seg_gather_fwd, _seg_gather_bwd)
 
 
+def _sews_primal(edge_emb, alpha, perm, edge_perm, ptr):
+    v = (alpha.reshape(-1)[perm][:, None]
+         * jnp.take(edge_emb, edge_perm, axis=0)).astype(jnp.float32)
+    cs = jnp.cumsum(v, axis=0)
+    cs = jnp.concatenate([jnp.zeros((1, cs.shape[1]), cs.dtype), cs], 0)
+    return cs[ptr[1:]] - cs[ptr[:-1]]
+
+
+@jax.custom_vjp
+def seg_edge_weighted_sum(edge_emb: jnp.ndarray, alpha: jnp.ndarray,
+                          flat_idx: jnp.ndarray, perm: jnp.ndarray,
+                          edge_perm: jnp.ndarray, ptr: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """``out[s] = sum_{(e,k): flat_idx[e*K+k]==s} alpha[e,k] * edge_emb[e]``
+    without materializing the (He*K, D) message tensor and with
+    scatter-free gradients — the fused message aggregation of
+    hypergraph attention (MHRec, Model/MHRec.py:37-89).
+
+    ``flat_idx`` is the row-major flattened (He, K) incidence;
+    ``(perm, ptr)`` from :func:`build_segment_transpose(flat_idx)`;
+    ``edge_perm = perm // K`` (per-rebuild constant). Forward: one
+    He-row gather in segment order fused with the weight multiply into
+    the prefix-sum. Backward (both pure gathers, no XLA scatter):
+    ``d edge_emb[e] = sum_k alpha[e,k] * g[flat_idx[e,k]]``,
+    ``d alpha[e,k] = edge_emb[e] . g[flat_idx[e,k]]``.
+
+    Precision model matches :func:`seg_sum` (global fp32 prefix sums):
+    fine for zero-mean message tensors, do NOT use for non-negative
+    scalar reductions.
+    """
+    return _sews_primal(edge_emb, alpha, perm, edge_perm, ptr)
+
+
+def _sews_fwd(edge_emb, alpha, flat_idx, perm, edge_perm, ptr):
+    return (_sews_primal(edge_emb, alpha, perm, edge_perm, ptr),
+            (edge_emb, alpha, flat_idx, perm, edge_perm, ptr))
+
+
+def _sews_bwd(res, g):
+    edge_emb, alpha, flat_idx, perm, edge_perm, ptr = res
+    he, k = alpha.shape
+    g_slot = jnp.take(g, flat_idx, axis=0).reshape(he, k, -1)
+    d_edge = jnp.einsum("hk,hkd->hd", alpha.astype(jnp.float32),
+                        g_slot.astype(jnp.float32)).astype(edge_emb.dtype)
+    d_alpha = jnp.einsum("hd,hkd->hk", edge_emb.astype(jnp.float32),
+                         g_slot.astype(jnp.float32)).astype(alpha.dtype)
+    return (d_edge, d_alpha, _zero_cot(flat_idx), _zero_cot(perm),
+            _zero_cot(edge_perm), _zero_cot(ptr))
+
+
+seg_edge_weighted_sum.defvjp(_sews_fwd, _sews_bwd)
+
+
 def ell_rows_matvec(vals: jnp.ndarray, idx: jnp.ndarray,
                     x: jnp.ndarray) -> jnp.ndarray:
     """out[r] = sum_k vals[r,k] * x[idx[r,k]] for a square top-k graph.
