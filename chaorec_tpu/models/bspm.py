@@ -64,13 +64,22 @@ class BSPM(RecModel):
                 # Exact factors: the IDL filter only uses the projector
                 # B B^T, i.e. the top-q right-singular SUBSPACE of R —
                 # which is exactly the top-q invariant subspace of the
-                # Gram matrix c = R^T R we already hold dense. eigh(c)
-                # is a one-time build cost and matches the reference's
-                # exact sparsesvd factors (Model/BSPM.py:60), where the
-                # randomized sketch left a consistent -1..-2.5% recall
-                # bias across the BSPM parity rows.
-                _, evecs = jnp.linalg.eigh(self.c)
-                self.b = evecs[:, -q:]  # (I, q), ascending - take top
+                # Gram matrix c = R^T R we already hold dense. Computed
+                # HOST-side with ARPACK Lanczos (scipy eigsh) on the
+                # fetched Gram: the one-time build analog of the
+                # reference's CPU sparsesvd (SVDLIBC Lanczos,
+                # Model/BSPM.py:60). A device jnp.linalg.eigh needs
+                # ~33 GB HBM at I=15207 (QDWH divide-and-conquer temps;
+                # measured OOM on sports/clothing, parity_logs/
+                # BSPM_sports.stdout), while the randomized sketch left
+                # a consistent -1..-2.5% recall bias — Lanczos is both
+                # exact and memory-free on device.
+                import numpy as np
+                from scipy.sparse.linalg import eigsh
+
+                _, evecs = eigsh(np.asarray(self.c), k=q, which="LA",
+                                 tol=1e-7, maxiter=10000)
+                self.b = jnp.asarray(evecs.astype(np.float32))
             else:
                 # catalogs too large for a dense (I, I) eigendecomposition
                 _, _, v = randomized_svd(rng, self.r, q, oversample=128,
