@@ -254,6 +254,21 @@ DIFFREC='{"learning_rate": 0.0005, "noise_scale": 0.001, "noise_min": 0.0005, "n
 combo DiffRec sports 7200 "$DIFFREC"
 combo DiffRec microlens 7200 "$DIFFREC"
 
+# ---------------------------------------------------------------- round 4
+# Remaining reference-log quality targets (VERDICT r3 missing 2 / item
+# 5): every row here is a multimodal model, so the result is a
+# synthetic-feature-labeled row — the point is that NO target stays
+# unmeasured. Combos are the reference logs' own Best parameters.
+combo MMGCN netfilx 7200 '{"reg_weight": 0.01, "learning_rate": 0.001}'
+combo GRCN netfilx 7200 '{"n_iterations": 1, "learning_rate": 0.001, "reg_weight": 0.001, "dropout": 0.1}'
+combo LGMRec netfilx 7200 '{"learning_rate": 0.001, "ssl_alpha": 0.0001, "n_layers": 5, "reg_weight": 1e-05}'
+combo DRAGON netfilx 10800 '{"n_layers": 3, "learning_rate": 0.001, "reg_weight": 0.01, "uu_topk": 40, "ii_topk": 10, "lambda_coeff": 0.2}'
+combo SLMRec microlens 7200 '{"learning_rate": 0.001, "ssl_alpha": 0.05, "n_layers": 1, "ssl_temp": 0.2}'
+combo DDRec microlens 10800 '{"learning_rate": 0.001, "reg_weight": 0.1, "ssl_alpha": 0.01, "n_layers": 3, "threshold": 0, "ssl_temp": 0.2}'
+combo LightGT sports 10800 '{"n_layers": 4, "learning_rate": 0.01, "reg_weight": 0.001}'
+combo MMGCL beauty 7200 '{"learning_rate": 0.001, "ssl_alpha": 0.5, "ssl_temp": 0.2, "reg_weight": 0.001, "n_layers": 1, "dropout": 0.1}'
+combo MGCL beauty 7200 '{"learning_rate": 0.01, "ssl_alpha": 0.1, "n_layers": 5, "ssl_temp": 0.2, "reg_weight": 0.1}'
+
 # CF_Diff/beauty LAST (tail absorber): ref log truncated (no Best
 # block); full early-stopped run at the first yaml combo for the
 # trajectory/quality record.
@@ -287,6 +302,9 @@ for k in bench attn speed_CF_Diff speed_SMORE speed_DRAGON speed_MICRO \
          combo_GFormer_beauty combo_AdaGCL_netfilx combo_HCCF_netfilx \
          combo_Grade_beauty combo_Grade_clothing combo_Grade_sports \
          combo_DHCF_sports combo_DiffRec_sports combo_DiffRec_microlens \
+         combo_MMGCN_netfilx combo_GRCN_netfilx combo_LGMRec_netfilx \
+         combo_DRAGON_netfilx combo_SLMRec_microlens combo_DDRec_microlens \
+         combo_LightGT_sports combo_MMGCL_beauty combo_MGCL_beauty \
          q_CF_Diff; do
   step_done "$k" || { echo "=== MISSING $k"; missing=1; }
 done
