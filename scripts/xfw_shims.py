@@ -70,6 +70,15 @@ def install_cpu_patches() -> None:
         if not hasattr(cls, "A"):
             cls.A = property(lambda self: self.toarray())
 
+    # scipy >= 1.12 dok_matrix no longer exposes the private dict
+    # `_update` the reference's get_norm_adj_mat uses
+    # (Model/COHESION.py:174 and siblings)
+    if not hasattr(sp.dok_matrix, "_update"):
+        def _dok_update(self, data):
+            for key, val in dict(data).items():
+                self[key] = val
+        sp.dok_matrix._update = _dok_update
+
     # torch 2.x removed the legacy torch.sparse.FloatTensor constructor
     if not hasattr(torch.sparse, "FloatTensor"):
         torch.sparse.FloatTensor = (  # type: ignore
