@@ -76,10 +76,25 @@ def build_sandbox(data_path: str) -> Path:
     return root
 
 
+def _yval(v) -> str:
+    # YAML 1.1 parses `1e-05` (no dot in the mantissa) as a STRING;
+    # emit floats with an explicit dot so the reference side gets the
+    # same float our grid produced (reference yamls with genuine string
+    # values like '1e-5' pass through json.dumps quoted, matching the
+    # reference's own float(...) call sites).
+    if isinstance(v, float):
+        s = repr(v)
+        if "e" in s and "." not in s.split("e")[0]:
+            mant, exp = s.split("e")
+            s = f"{mant}.0e{exp}"
+        return s
+    return json.dumps(v)
+
+
 def write_yaml(root: Path, model: str, combo: dict) -> None:
     ydir = root / "Model_YAML"
     ydir.mkdir(exist_ok=True)
-    lines = [f"{k}: [{json.dumps(v)}]" for k, v in combo.items()]
+    lines = [f"{k}: [{_yval(v)}]" for k, v in combo.items()]
     lines.append("hyper_parameters: [" + ", ".join(combo.keys()) + "]")
     (ydir / f"{model}.yaml").write_text("\n".join(lines) + "\n")
 
