@@ -48,6 +48,25 @@ def install_cpu_patches() -> None:
 
     torch.optim.Optimizer.zero_grad = zero_grad_torch111  # type: ignore
 
+    # The reference overwrites registered Parameters with computed plain
+    # tensors (COHESION.py:147 vs :308/:357); torch 2.x raises. Demote
+    # the slot to a plain attribute on first such assignment — the
+    # optimizer keeps the original Parameter object it captured at
+    # construction, matching the reference runs' effective behavior.
+    orig_setattr = torch.nn.Module.__setattr__
+
+    def lenient_setattr(self, name, value):
+        params = self.__dict__.get("_parameters")
+        if (params is not None and name in params
+                and isinstance(value, torch.Tensor)
+                and not isinstance(value, torch.nn.Parameter)):
+            del params[name]
+            object.__setattr__(self, name, value)
+            return
+        orig_setattr(self, name, value)
+
+    torch.nn.Module.__setattr__ = lenient_setattr
+
     # python 3.11+ removed random.sample over sets (dataload.py:77,
     # Model/FREEDOM.py...) — restore the old behavior
     import random as _random
