@@ -56,6 +56,9 @@ class LATTICE(RecModel):
     # closed-form tail — see base.py epoch0_params.
     epoch0_params = ("v_feat", "t_feat", "image_trs_w", "image_trs_b",
                      "text_trs_w", "text_trs_b", "modal_weight")
+    # graph rebuilt only on batch 0: batches 1..N-1 scan with the
+    # carried state as an invariant (no per-step state copy, loop.py)
+    frozen_state_epoch = True
 
     # dense (I, I) bf16 item-graph budget: beyond this the carried state
     # stays in ELL (vals, idx) form (microlens 14079 items = 396 MB bf16)

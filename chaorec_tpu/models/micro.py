@@ -69,6 +69,9 @@ class MICRO(RecModel):
     # via the closed-form tail — see base.py epoch0_params.
     epoch0_params = ("v_feat", "t_feat", "image_trs_w", "image_trs_b",
                      "text_trs_w", "text_trs_b")
+    # graph rebuilt only on batch 0: batches 1..N-1 scan with the
+    # carried state as an invariant (no per-step state copy, loop.py)
+    frozen_state_epoch = True
 
     def __init__(self, num_user, num_item, graph: BipartiteGraph, v_feat,
                  t_feat, dim_E, n_layers, reg_weight, ii_topk, mm_layers,

@@ -153,114 +153,158 @@ def _jitted_epoch(optimizer, batch_size: int, neg_candidates: int,
             shuffle_rng, edges, batch_size
         )
 
-        def step(carry, xs):
-            params, opt_state, mstate, rng = carry
-            u, p, w, idx = xs
-            rng, neg_rng, int_rng, loss_rng = jax.random.split(rng, 4)
-            if user_rows:
-                neg = p
-            else:
-                neg = sample_negatives(
-                    neg_rng, u, history, num_item, neg_candidates
-                )
-            int_items = None
-            if getattr(model, "needs_int_items", False):
-                int_items = sample_negatives(
-                    int_rng, u, history, num_item, neg_candidates
-                )
-            batch = Batch(u, p, neg, w, idx, int_items)
-            if table_names:
-                # Row-sparse tables: gradients only for the gathered
-                # rows (the dense table gradient never exists), exact
-                # row-sparse Adam for the table update.
-                adam_state, table_state, count = opt_state
-                dense = {k: v for k, v in params.items()
-                         if k not in table_names}
-                rows = model.table_rows(batch)
-                gathered = {n: params[n][rows[n]] for n in table_names}
-                loss, (g_dense, g_rows) = jax.value_and_grad(
-                    model.loss_tables, argnums=(0, 1)
-                )(dense, gathered, batch, loss_rng)
-                updates, adam_state = optimizer.update(
-                    g_dense, adam_state, dense)
-                dense = optax.apply_updates(dense, updates)
-                count = count + 1
-                new_tables = {}
-                new_tstate = {}
-                for n in table_names:
-                    new_tables[n], new_tstate[n] = row_adam_update(
-                        params[n], table_state[n], rows[n], g_rows[n],
-                        count, table_lr)
-                params = {**dense, **new_tables}
-                opt_state = (adam_state, new_tstate, count)
-            elif stateful:
-                (loss, mstate), grads = jax.value_and_grad(
-                    model.loss_stateful, has_aux=True
-                )(params, mstate, batch, loss_rng)
-                e0 = tuple(model.epoch0_params)
-                if e0:
-                    # Rebuild-gated subtree: the real gradient exists
-                    # only on batch 0 (the carried graph is detached
-                    # elsewhere), but the reference's torch 1.11 Adam
-                    # (zero_grad(set_to_none=False), main.py:397) keeps
-                    # stepping these params with g = 0 on every later
-                    # batch — momentum-decay drift plus a per-batch
-                    # step-count increment. We apply the real update
-                    # here and the EXACT closed-form zero-grad tail
-                    # once after the scan (ops/adam_tail.py); the gated
-                    # values are never read off batch 0 (carried state
-                    # is stop_gradient'd), so deferring the tail inside
-                    # the epoch is equivalent.
-                    main_state, (gmu, gnu, gcount, glr) = opt_state
-                    p_main = {k: v for k, v in params.items()
-                              if k not in e0}
-                    g_main = {k: v for k, v in grads.items()
-                              if k not in e0}
-                    updates, main_state = optimizer.update(
-                        g_main, main_state, p_main)
-                    p_main = optax.apply_updates(p_main, updates)
-                    p_gate = {k: params[k] for k in e0}
-                    # torch per-param `step` counts EVERY batch (the
-                    # zeroed grad is not None), not just rebuilds.
-                    gcount = gcount + 1
+        def make_step(frozen_mstate=None):
+            # frozen_mstate is not None: rebuild-once models
+            # (frozen_state_epoch, LATTICE/MICRO) run batches 1..N-1
+            # with the carried graph as a scan INVARIANT — carrying the
+            # (often hundreds-of-MB dense) graph state through the scan
+            # forces XLA to copy it every iteration (measured: ~6
+            # (I, I)-sized copies/converts per step on microlens,
+            # parity_logs/LATTICE_microlens.profile_r4.txt).
+            frozen = frozen_mstate is not None
 
-                    def _gate_apply(args):
-                        p_g, mu, nu = args
-                        t = gcount.astype(jnp.float32)
-                        out_p, out_mu, out_nu = {}, {}, {}
-                        for k in e0:
-                            g = grads[k]
-                            m = _ADAM_B1 * mu[k] + (1 - _ADAM_B1) * g
-                            v = _ADAM_B2 * nu[k] + (1 - _ADAM_B2) * g * g
-                            mhat = m / (1 - _ADAM_B1 ** t)
-                            vhat = v / (1 - _ADAM_B2 ** t)
-                            out_p[k] = p_g[k] - glr * mhat / (
-                                jnp.sqrt(vhat) + _ADAM_EPS)
-                            out_mu[k], out_nu[k] = m, v
-                        return out_p, out_mu, out_nu
-
-                    p_gate, gmu, gnu = jax.lax.cond(
-                        idx == 0, _gate_apply, lambda a: a,
-                        (p_gate, gmu, gnu))
-                    params = {**p_main, **p_gate}
-                    opt_state = (main_state, (gmu, gnu, gcount, glr))
+            def step(carry, xs):
+                if frozen:
+                    params, opt_state, rng = carry
+                    mstate = frozen_mstate
                 else:
+                    params, opt_state, mstate, rng = carry
+                u, p, w, idx = xs
+                rng, neg_rng, int_rng, loss_rng = jax.random.split(rng, 4)
+                if user_rows:
+                    neg = p
+                else:
+                    neg = sample_negatives(
+                        neg_rng, u, history, num_item, neg_candidates
+                    )
+                int_items = None
+                if getattr(model, "needs_int_items", False):
+                    int_items = sample_negatives(
+                        int_rng, u, history, num_item, neg_candidates
+                    )
+                batch = Batch(u, p, neg, w, idx, int_items)
+                if table_names:
+                    # Row-sparse tables: gradients only for the gathered
+                    # rows (the dense table gradient never exists), exact
+                    # row-sparse Adam for the table update.
+                    adam_state, table_state, count = opt_state
+                    dense = {k: v for k, v in params.items()
+                             if k not in table_names}
+                    rows = model.table_rows(batch)
+                    gathered = {n: params[n][rows[n]] for n in table_names}
+                    loss, (g_dense, g_rows) = jax.value_and_grad(
+                        model.loss_tables, argnums=(0, 1)
+                    )(dense, gathered, batch, loss_rng)
+                    updates, adam_state = optimizer.update(
+                        g_dense, adam_state, dense)
+                    dense = optax.apply_updates(dense, updates)
+                    count = count + 1
+                    new_tables = {}
+                    new_tstate = {}
+                    for n in table_names:
+                        new_tables[n], new_tstate[n] = row_adam_update(
+                            params[n], table_state[n], rows[n], g_rows[n],
+                            count, table_lr)
+                    params = {**dense, **new_tables}
+                    opt_state = (adam_state, new_tstate, count)
+                elif stateful:
+                    (loss, mstate), grads = jax.value_and_grad(
+                        model.loss_stateful, has_aux=True
+                    )(params, mstate, batch, loss_rng)
+                    e0 = tuple(model.epoch0_params)
+                    if e0:
+                        # Rebuild-gated subtree: the real gradient exists
+                        # only on batch 0 (the carried graph is detached
+                        # elsewhere), but the reference's torch 1.11 Adam
+                        # (zero_grad(set_to_none=False), main.py:397) keeps
+                        # stepping these params with g = 0 on every later
+                        # batch — momentum-decay drift plus a per-batch
+                        # step-count increment. We apply the real update
+                        # here and the EXACT closed-form zero-grad tail
+                        # once after the scan (ops/adam_tail.py); the gated
+                        # values are never read off batch 0 (carried state
+                        # is stop_gradient'd), so deferring the tail inside
+                        # the epoch is equivalent.
+                        main_state, (gmu, gnu, gcount, glr) = opt_state
+                        p_main = {k: v for k, v in params.items()
+                                  if k not in e0}
+                        g_main = {k: v for k, v in grads.items()
+                                  if k not in e0}
+                        updates, main_state = optimizer.update(
+                            g_main, main_state, p_main)
+                        p_main = optax.apply_updates(p_main, updates)
+                        p_gate = {k: params[k] for k in e0}
+                        # torch per-param `step` counts EVERY batch (the
+                        # zeroed grad is not None), not just rebuilds.
+                        gcount = gcount + 1
+
+                        def _gate_apply(args):
+                            p_g, mu, nu = args
+                            t = gcount.astype(jnp.float32)
+                            out_p, out_mu, out_nu = {}, {}, {}
+                            for k in e0:
+                                g = grads[k]
+                                m = _ADAM_B1 * mu[k] + (1 - _ADAM_B1) * g
+                                v = _ADAM_B2 * nu[k] + (1 - _ADAM_B2) * g * g
+                                mhat = m / (1 - _ADAM_B1 ** t)
+                                vhat = v / (1 - _ADAM_B2 ** t)
+                                out_p[k] = p_g[k] - glr * mhat / (
+                                    jnp.sqrt(vhat) + _ADAM_EPS)
+                                out_mu[k], out_nu[k] = m, v
+                            return out_p, out_mu, out_nu
+
+                        if frozen:
+                            # idx >= 1 always here: the gate never fires
+                            # (the closed-form tail covers these steps)
+                            pass
+                        else:
+                            p_gate, gmu, gnu = jax.lax.cond(
+                                idx == 0, _gate_apply, lambda a: a,
+                                (p_gate, gmu, gnu))
+                        params = {**p_main, **p_gate}
+                        opt_state = (main_state, (gmu, gnu, gcount, glr))
+                    else:
+                        updates, opt_state = optimizer.update(
+                            grads, opt_state, params)
+                        params = optax.apply_updates(params, updates)
+                else:
+                    loss, grads = jax.value_and_grad(model.loss)(
+                        params, batch, loss_rng
+                    )
                     updates, opt_state = optimizer.update(
                         grads, opt_state, params)
                     params = optax.apply_updates(params, updates)
-            else:
-                loss, grads = jax.value_and_grad(model.loss)(
-                    params, batch, loss_rng
-                )
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-            return (params, opt_state, mstate, rng), loss
+                if frozen:
+                    return (params, opt_state, rng), loss
+                return (params, opt_state, mstate, rng), loss
 
-        (params, opt_state, mstate, rng), losses = jax.lax.scan(
-            step, (params, opt_state, mstate, rng),
-            (users, pos, weights,
-             jnp.arange(users.shape[0], dtype=jnp.int32)),
-        )
+            return step
+
+        n_batches = users.shape[0]
+        if stateful and getattr(model, "frozen_state_epoch", False) \
+                and n_batches > 1 and not table_names:
+            # batch 0 (the rebuild step) runs OUTSIDE the scan — same
+            # math and the same per-batch RNG-split sequence as running
+            # it as the scan's first iteration — then the remaining
+            # batches scan with the rebuilt graph as an invariant.
+            carry0 = (params, opt_state, mstate, rng)
+            (params, opt_state, mstate, rng), loss0 = make_step()(
+                carry0,
+                (users[0], pos[0], weights[0], jnp.zeros((), jnp.int32)),
+            )
+            (params, opt_state, rng), losses = jax.lax.scan(
+                make_step(frozen_mstate=mstate),
+                (params, opt_state, rng),
+                (users[1:], pos[1:], weights[1:],
+                 jnp.arange(1, n_batches, dtype=jnp.int32)),
+            )
+            losses = jnp.concatenate([loss0[None], losses])
+        else:
+            (params, opt_state, mstate, rng), losses = jax.lax.scan(
+                make_step(), (params, opt_state, mstate, rng),
+                (users, pos, weights,
+                 jnp.arange(n_batches, dtype=jnp.int32)),
+            )
         e0 = tuple(model.epoch0_params) if stateful else ()
         if e0 and not table_names:
             # The n_batches-1 zero-gradient Adam updates torch 1.11
