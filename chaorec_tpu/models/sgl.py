@@ -22,8 +22,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from chaorec_tpu.graphs.dropout import (bernoulli_keep, edge_propagate,
-                                        masked_edge_weights)
+from chaorec_tpu.graphs.dropout import (
+    bernoulli_keep,
+    build_two_way_arrays,
+    sorted_masked_edge_weights,
+    sorted_two_way_propagate,
+)
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
 from chaorec_tpu.ops.init import xavier_uniform
@@ -46,6 +50,11 @@ class SGL(RecModel):
         self.n_layers = n_layers
         self.ssl_temp = ssl_temp
         self.ssl_reg = ssl_reg
+        # two-way sorted edge layout: per-batch view propagation (and its
+        # gradient) never emits an XLA scatter (graphs/dropout.py)
+        self._arrs = build_two_way_arrays(graph.u_by_u, graph.i_by_u)
+        self._cast = (jnp.bfloat16 if graph.compute_dtype == "bfloat16"
+                      else jnp.float32)
 
     def init_params(self, rng: jax.Array) -> Params:
         k_u, k_i = jax.random.split(rng)
@@ -69,13 +78,13 @@ class SGL(RecModel):
         # propagation costs O(E) per view vs the O(U*I) dense rebuild
         g = self.graph
         keep = bernoulli_keep(rng, g.u_by_u.shape[0], 1.0 - self.ssl_ratio)
-        w, _, _ = masked_edge_weights(
-            g.u_by_u, g.i_by_u, keep, self.num_user, self.num_item
+        w, _, _ = sorted_masked_edge_weights(
+            keep, self._arrs, self.num_user, self.num_item
         )
 
         def prop(xu, xi):
-            return edge_propagate(g.u_by_u, g.i_by_u, w, xu, xi,
-                                  self.num_user, self.num_item)
+            return sorted_two_way_propagate(w, xu, xi, self._arrs,
+                                            self._cast)
 
         return self._gcn_mean(
             params["user_embedding"], params["item_embedding"], prop

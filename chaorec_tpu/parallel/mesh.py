@@ -58,17 +58,43 @@ def make_mesh(
 
 
 def shard_params(params, mesh: Mesh):
-    """Row-shard every 2-D parameter over "mp"; replicate the rest (and
-    any tensor whose leading dim doesn't divide the mp size — small
-    weight matrices like attention heads or (1, d) projections)."""
+    """Row-shard every LARGE 2-D parameter over "mp"; replicate the rest
+    (any tensor whose leading dim doesn't divide the mp size, and small
+    weight matrices — attention heads, (1, d) projections, discriminator
+    blocks). The size floor (>= 8 rows per shard) matters beyond taste:
+    sharding a near-degenerate matrix like MMSSL's (8, 16) D block 8 ways
+    puts 1 row per device, and the WGAN-GP double-backward's transposed
+    accumulation then needs a layout GSPMD can only reach by involuntary
+    full rematerialization (spmd_partitioner warnings in the r3 dryrun).
+    Row-sharding only pays for embedding-table-scale params anyway."""
     mp = mesh.shape["mp"]
 
     def spec(x):
-        if x.ndim >= 2 and x.shape[0] % mp == 0:
+        if x.ndim >= 2 and x.shape[0] % mp == 0 and x.shape[0] >= 8 * mp:
             return NamedSharding(mesh, P("mp", *([None] * (x.ndim - 1))))
         return NamedSharding(mesh, P())
 
     return jax.tree.map(lambda x: jax.device_put(x, spec(x)), params)
+
+
+def param_sharding_constraint(tree, params, mesh: Mesh):
+    """Pin every leaf of ``tree`` (typically a gradient pytree) to the
+    sharding :func:`shard_params` gives the matching param. Stating the
+    gradients' final layout up front lets GSPMD plan one psum/reduce-
+    scatter per leaf instead of discovering a layout mismatch deep in a
+    transposed double-backward and falling back to involuntary full
+    rematerialization (the r3 dryrun warnings on the MMSSL WGAN-GP step).
+    """
+    mp = mesh.shape["mp"]
+
+    def spec(x):
+        if x.ndim >= 2 and x.shape[0] % mp == 0 and x.shape[0] >= 8 * mp:
+            return NamedSharding(mesh, P("mp", *([None] * (x.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(
+        lambda g, p: jax.lax.with_sharding_constraint(g, spec(p)),
+        tree, params)
 
 
 def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
@@ -189,11 +215,13 @@ def make_sharded_mmssl_step(model, mesh: Mesh, lr: float):
     def step(model, params, od, om, mstate, batch, rng):
         k_d, k_g = jax.random.split(rng)
         g_d = jax.grad(model.loss_d)(params, mstate, batch, k_d)
+        g_d = param_sharding_constraint(g_d, params, mesh)
         upd, od = opt_d.update(g_d, od, params)
         params = optax.apply_updates(params, upd)
         (loss, mstate), g = jax.value_and_grad(
             model.loss_stateful, has_aux=True
         )(params, mstate, batch, k_g)
+        g = param_sharding_constraint(g, params, mesh)
         upd, om = opt_main.update(g, om, params)
         params = optax.apply_updates(params, upd)
         return params, od, om, mstate, loss

@@ -58,19 +58,31 @@ def main() -> None:
     events = data.get("traceEvents", [])
     # process-name metadata -> device pids
     pid_name = {}
+    tid_name = {}
     for ev in events:
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             pid_name[ev["pid"]] = ev["args"].get("name", "")
+        elif ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            tid_name[(ev["pid"], ev.get("tid"))] = ev["args"].get("name", "")
     dev_pids = {p for p, n in pid_name.items()
                 if "TPU" in n or "device" in n.lower()}
+    # a device pid carries parallel timelines ("Steps", "XLA Modules",
+    # "XLA Ops", "Source code", ...) that all span the same wall time —
+    # summing every track multi-counts each op under its module/step
+    # parents. Keep only the leaf-op tracks when they exist.
+    op_tids = {t for t, n in tid_name.items()
+               if t[0] in dev_pids and "XLA Ops" in n}
     by_track = defaultdict(list)
     counts = defaultdict(int)
     for ev in events:
         if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
             continue
+        key = (ev["pid"], ev.get("tid"))
+        if op_tids and key not in op_tids:
+            continue
         name = ev.get("name", "?")
         counts[name] += 1
-        by_track[(ev["pid"], ev.get("tid"))].append(
+        by_track[key].append(
             (float(ev.get("ts", 0.0)), float(ev.get("dur", 0.0)), name))
     agg = defaultdict(float)
     total = 0.0

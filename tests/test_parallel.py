@@ -180,8 +180,17 @@ def test_sharded_mmssl_step_matches_single_device(tiny_dataset):
 
     np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-4)
     for k in p1:
-        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
-                                   rtol=1e-4, atol=1e-5)
+        a, b = np.asarray(p8[k]), np.asarray(p1[k])
+        if k.startswith("D_"):
+            # Adam's first step is +-lr for every element regardless of
+            # gradient magnitude (m_hat/sqrt(v_hat) = sign(g) at t=1),
+            # so D elements whose WGAN real/fake contributions nearly
+            # cancel (|g| ~ float noise, e.g. the BN biases under the
+            # identity-activation D) legitimately sign-flip between
+            # reduction orders. Allow one first-step quantum on those.
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=2.1 * 3e-4)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
 def test_sharded_diffmm_steps_match_single_device(tiny_dataset):
