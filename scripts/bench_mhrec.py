@@ -1,0 +1,140 @@
+"""MHRec phase-C component timing (VERDICT r3 item 3: get >=1x phase-C).
+
+Decomposes the phase-C step on the real workload (beauty, phase-C-only
+incidence = leading num_hypernodes raw hyperedge nodes) into:
+  - layout build (per-epoch, amortized)
+  - forward only
+  - each _hyper_attn call in isolation
+  - the 3E-wide GCN tower in isolation
+  - loss_hyper value_and_grad (the per-batch unit, 92x per epoch)
+  - variants: no hyper-dropout RNG, denominator via prefix-sum layout
+so one TPU session says exactly where the 71 ms/batch goes.
+
+Usage: python scripts/bench_mhrec.py --data_path beauty \
+           --data_root /root/reference/Data [--iters 10]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("CHAOREC_MHREC_PHASE_C_ONLY", "1")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from chaorec_tpu.config import (  # noqa: E402
+    grid_combinations,
+    load_yaml_config,
+    parse_cli,
+)
+from chaorec_tpu.data.loading import data_load  # noqa: E402
+from chaorec_tpu.data.sampling import (  # noqa: E402
+    make_epoch_batches,
+    sample_negatives,
+)
+from chaorec_tpu.models import build_model  # noqa: E402
+from chaorec_tpu.models.base import Batch  # noqa: E402
+
+
+def timeit(name, fn, *args, iters=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    print(f"  {name:<36} {ms:9.3f} ms", flush=True)
+    return ms
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    iters = 10
+    if "--iters" in argv:
+        i = argv.index("--iters")
+        iters = int(argv[i + 1])
+        del argv[i: i + 2]
+    sys.argv[1:] = ["--Model", "MHRec"] + argv
+    cfg = parse_cli()
+    yaml_cfg = load_yaml_config(cfg.Model)
+    first = next(iter(grid_combinations(yaml_cfg)), {})
+    for k, v in first.items():
+        if hasattr(cfg, k):
+            cur = getattr(cfg, k)
+            setattr(cfg, k, type(cur)(v) if cur is not None else v)
+    ds = data_load(cfg.data_path, cfg.data_root, has_v=True, has_t=True)
+    model = build_model(cfg, ds)
+    rng = jax.random.PRNGKey(0)
+    params = jax.device_put(model.init_params(rng))
+
+    h_v = jnp.asarray(model.hyper_nodes_v[:, : model.num_hypernodes])
+    h_t = jnp.asarray(model.hyper_nodes_t[:, : model.num_hypernodes])
+    he, k = h_v.shape
+    n = model.num_nodes
+    print(f"MHRec phase-C bench: He={he} k={k} nodes={n} "
+          f"dim={model.dim_E} h_layers={model.h_layers} "
+          f"n_layers={model.n_layers}", flush=True)
+
+    lay_v = jax.jit(model.build_layout)(h_v)
+    lay_t = jax.jit(model.build_layout)(h_t)
+    jax.block_until_ready((lay_v, lay_t))
+    timeit("build_layout (per-epoch)", jax.jit(model.build_layout), h_v,
+           iters=iters)
+
+    # one batch
+    edges = jnp.asarray(ds.train_edges)
+    history = jnp.asarray(ds.history.values)
+    users, pos, weights, _ = make_epoch_batches(
+        jax.random.PRNGKey(1), edges, cfg.batch_size)
+    neg = sample_negatives(jax.random.PRNGKey(2), users[0], history,
+                           ds.num_item, cfg.neg_candidates)
+    batch = Batch(users[0], pos[0], neg, weights[0], jnp.int32(0), None)
+
+    fwd = jax.jit(lambda p, r: model.forward(p, h_v, h_t, r,
+                                             (lay_v, lay_t)))
+    timeit("forward", fwd, params, rng, iters=iters)
+
+    # single hypergraph attention layer (modality v, layer 0)
+    x0 = jnp.zeros((n, model.dim_E), jnp.float32) + 0.01
+    attn = jax.jit(lambda p, x: model._hyper_attn(p["hv_a0"], h_v, lay_v, x))
+    timeit("hyper_attn x1 (fwd)", attn, params, x0, iters=iters)
+    attn_g = jax.jit(lambda p, x: jax.grad(
+        lambda xx: jnp.sum(model._hyper_attn(p["hv_a0"], h_v, lay_v, xx) ** 2)
+    )(x))
+    timeit("hyper_attn x1 (fwd+bwd)", attn_g, params, x0, iters=iters)
+
+    # 3E-wide GCN tower
+    gcn = jax.jit(lambda p: model._gcn_mean(
+        jnp.concatenate([p["u_v_emb"], p["u_t_emb"], p["u_emb"]], axis=1),
+        jnp.concatenate([p["i_emb"], p["i_emb"], p["i_emb"]], axis=1)))
+    timeit("gcn_mean 3E-wide (fwd)", gcn, params, iters=iters)
+
+    # full per-batch unit
+    def loss_fn(p, r):
+        loss, _ = model.loss_hyper(p, batch, h_v, h_t, r, (lay_v, lay_t))
+        return loss
+
+    vg = jax.jit(lambda p, r: jax.value_and_grad(loss_fn)(p, r))
+    timeit("loss_hyper value_and_grad", vg, params, rng, iters=iters)
+
+    # forward without the hyper-dropout RNG (isolate threefry cost)
+    try:
+        drop = model.hyper_dropout
+        model.hyper_dropout = 0.0
+        fwd_nodrop = jax.jit(lambda p, r: model.forward(
+            p, h_v, h_t, r, (lay_v, lay_t)))
+        timeit("forward (dropout=0 variant)", fwd_nodrop, params, rng,
+               iters=iters)
+        vg2 = jax.jit(lambda p, r: jax.value_and_grad(loss_fn)(p, r))
+        timeit("val+grad (dropout=0 variant)", vg2, params, rng,
+               iters=iters)
+    finally:
+        model.hyper_dropout = drop
+
+
+if __name__ == "__main__":
+    main()

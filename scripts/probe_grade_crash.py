@@ -1,0 +1,116 @@
+"""Bisect the Grade/AdaGCL TPU worker crash (sports/netfilx, r4).
+
+Grade/sports and AdaGCL/netfilx kill the TPU worker ("kernel fault") on
+the first dispatched epoch; Grade/beauty+clothing and every non-generator
+model pass. This probe jits ONE component at a time on the failing
+workload so the crash attributes to a subprogram. Run each component in
+its own process (a worker crash poisons the client):
+
+  for c in enc edge_prob gen_view loss1 bpr gen step eval; do
+    timeout 1200 python scripts/probe_grade_crash.py --Model Grade \
+        --data_path sports --data_root /root/reference/Data --component $c \
+        || echo "component $c FAILED rc=$?"
+  done
+
+Exit 0 = component ran on device; nonzero/crash output = culprit.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from chaorec_tpu.config import (  # noqa: E402
+    grid_combinations,
+    load_yaml_config,
+    parse_cli,
+)
+from chaorec_tpu.data.loading import data_load  # noqa: E402
+from chaorec_tpu.data.sampling import (  # noqa: E402
+    make_epoch_batches,
+    sample_negatives,
+)
+from chaorec_tpu.models import build_model  # noqa: E402
+from chaorec_tpu.models.base import Batch  # noqa: E402
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    comp = "step"
+    if "--component" in argv:
+        i = argv.index("--component")
+        comp = argv[i + 1]
+        del argv[i: i + 2]
+    sys.argv[1:] = argv
+    cfg = parse_cli()
+    yaml_cfg = load_yaml_config(cfg.Model)
+    first = next(iter(grid_combinations(yaml_cfg)), {})
+    for k, v in first.items():
+        if hasattr(cfg, k):
+            cur = getattr(cfg, k)
+            setattr(cfg, k, type(cur)(v) if cur is not None else v)
+    ds = data_load(cfg.data_path, cfg.data_root, has_v=True, has_t=True)
+    model = build_model(cfg, ds)
+    rng = jax.random.PRNGKey(0)
+    params = jax.device_put(model.init_params(rng))
+    users, pos, weights, _ = make_epoch_batches(
+        jax.random.PRNGKey(1), jnp.asarray(ds.train_edges), cfg.batch_size)
+    history = jnp.asarray(ds.history.values)
+    neg = sample_negatives(jax.random.PRNGKey(2), users[0], history,
+                           ds.num_item, cfg.neg_candidates)
+    batch = Batch(users[0], pos[0], neg, weights[0], jnp.int32(0), None)
+    print(f"probe component={comp} model={cfg.Model} data={cfg.data_path} "
+          f"E={ds.train_edges.shape[0]}", flush=True)
+
+    if comp == "enc":
+        out = jax.jit(lambda p: model._encode(p, 1, "id"))(params)
+    elif comp == "edge_prob":
+        def f(p):
+            x, _, _ = model._encode(p, 1, "id")
+            return model._edge_prob(p, 1, x[model.src], x[model.dst])
+        out = jax.jit(f)(params)
+    elif comp == "gen_view":
+        out = jax.jit(lambda p: model._generate_view(p, 1, "id"))(params)
+    elif comp == "loss1":
+        out = jax.jit(jax.value_and_grad(model.loss_1))(params, batch, rng)
+    elif comp == "bpr":
+        out = jax.jit(jax.value_and_grad(model.bpr_reg_loss))(params, batch)
+    elif comp == "gen":
+        out = jax.jit(jax.value_and_grad(model.gen_loss))(params, batch, rng)
+    elif comp == "step":
+        from chaorec_tpu.models.adagcl import generator_labels
+        from chaorec_tpu.models.grade import grade_step
+
+        opt = optax.adam(cfg.learning_rate)
+        opt_gens = [
+            optax.multi_transform(
+                {"g": optax.adam(cfg.learning_rate),
+                 "f": optax.set_to_zero()},
+                generator_labels(model, f"g{i}_"))
+            for i in (1, 2, 3)
+        ]
+        o = opt.init(params)
+        gens = tuple(og.init(params) for og in opt_gens)
+        out = jax.jit(
+            lambda p, o, g, b, k1, k3: grade_step(
+                model, opt, opt_gens, p, o, g, b, k1, k3)
+        )(params, o, gens, batch, rng, jax.random.PRNGKey(5))
+    elif comp == "eval":
+        from chaorec_tpu.eval.metrics import gene_metrics
+        from chaorec_tpu.eval.ranking import gene_ranklist
+
+        fu, fi = jax.jit(model.embeddings)(params)
+        rank = gene_ranklist(fu, fi, history, ds.num_user)
+        out = gene_metrics(ds, rank, [5, 10, 20], split="test")
+    else:
+        sys.exit(f"unknown component {comp}")
+    jax.block_until_ready(out)
+    print(f"component {comp}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
