@@ -49,9 +49,13 @@ def main() -> None:
     ref_dir = Path(sys.argv[2] if len(sys.argv) > 2
                    else "/root/reference/log")
     rows = []
+    seed_runs = {}  # base workload -> [best per extra seed]
     for path in sorted(ours_dir.glob("*.log")):
         name = path.stem
         ours = best_of(path)
+        m = re.match(r"(.+)\.seed(\d+)$", name)
+        if m and ours is not None:
+            seed_runs.setdefault(m.group(1), []).append(ours)
         ref_name = REF_ALIASES.get(path.name, path.name)
         ref = best_of(ref_dir / ref_name)
         rows.append((name, ours, ref, ref_name))
@@ -70,6 +74,15 @@ def main() -> None:
         model = name.split("_")[0]
         note = ("  [multimodal: synthetic v/t stand-ins — not a quality row]"
                 if model in MULTIMODAL else "")
+        # VERDICT r3 item 10: mean +- spread across the seed repeats so
+        # outlier single-run deltas read as RNG noise or a numerics bug
+        if name in seed_runs and ours is not None:
+            vals = [ours] + seed_runs[name]
+            mean = sum(vals) / len(vals)
+            spread = (max(vals) - min(vals)) / 2.0
+            note += (f"  [seeds n={len(vals)}: {mean:.5f} +- {spread:.5f}"
+                     + (f", mean delta {(mean - ref) / ref * 100.0:+.1f}%"
+                        if ref is not None else "") + "]")
         print(f"{name:<{w}}  {o:>8}  {r:>9}  {d}{note}")
 
 

@@ -66,21 +66,28 @@ def main() -> None:
     print(f"probe component={comp} model={cfg.Model} data={cfg.data_path} "
           f"E={ds.train_edges.shape[0]}", flush=True)
 
+    # model is ALWAYS a jit argument (pytree), never a closure constant:
+    # big buffers (v_feat on sports = 249 MB fp32) baked as constants
+    # overflow the remote-compile tunnel (HTTP 413) before the device
+    # ever sees the program.
     if comp == "enc":
-        out = jax.jit(lambda p: model._encode(p, 1, "id"))(params)
+        out = jax.jit(lambda m, p: m._encode(p, 1, "id"))(model, params)
     elif comp == "edge_prob":
-        def f(p):
-            x, _, _ = model._encode(p, 1, "id")
-            return model._edge_prob(p, 1, x[model.src], x[model.dst])
-        out = jax.jit(f)(params)
+        def f(m, p):
+            x, _, _ = m._encode(p, 1, "id")
+            return m._edge_prob(p, 1, x[m.src], x[m.dst])
+        out = jax.jit(f)(model, params)
     elif comp == "gen_view":
-        out = jax.jit(lambda p: model._generate_view(p, 1, "id"))(params)
+        out = jax.jit(lambda m, p: m._generate_view(p, 1, "id"))(model, params)
     elif comp == "loss1":
-        out = jax.jit(jax.value_and_grad(model.loss_1))(params, batch, rng)
+        out = jax.jit(lambda m, p, b, r: jax.value_and_grad(m.loss_1)(p, b, r))(
+            model, params, batch, rng)
     elif comp == "bpr":
-        out = jax.jit(jax.value_and_grad(model.bpr_reg_loss))(params, batch)
+        out = jax.jit(lambda m, p, b: jax.value_and_grad(m.bpr_reg_loss)(p, b))(
+            model, params, batch)
     elif comp == "gen":
-        out = jax.jit(jax.value_and_grad(model.gen_loss))(params, batch, rng)
+        out = jax.jit(lambda m, p, b, r: jax.value_and_grad(m.gen_loss)(p, b, r))(
+            model, params, batch, rng)
     elif comp == "step":
         from chaorec_tpu.models.adagcl import generator_labels
         from chaorec_tpu.models.grade import grade_step
@@ -96,14 +103,26 @@ def main() -> None:
         o = opt.init(params)
         gens = tuple(og.init(params) for og in opt_gens)
         out = jax.jit(
-            lambda p, o, g, b, k1, k3: grade_step(
-                model, opt, opt_gens, p, o, g, b, k1, k3)
-        )(params, o, gens, batch, rng, jax.random.PRNGKey(5))
+            lambda m, p, o, g, b, k1, k3: grade_step(
+                m, opt, opt_gens, p, o, g, b, k1, k3)
+        )(model, params, o, gens, batch, rng, jax.random.PRNGKey(5))
+    elif comp == "epoch":
+        # the real trainer's whole-epoch jit, one call (the unit the
+        # crashed runs dispatched)
+        from chaorec_tpu.train.loop import Trainer
+
+        trainer_cls = getattr(model, "trainer_cls", Trainer)
+        tr = trainer_cls(model, ds, cfg)
+        base = getattr(tr, "_base", tr)
+        opt_state = base.init_opt_state(params)
+        _, _, _, loss = base.train_epoch(params, opt_state,
+                                         jax.random.PRNGKey(7), 0)
+        out = loss
     elif comp == "eval":
         from chaorec_tpu.eval.metrics import gene_metrics
         from chaorec_tpu.eval.ranking import gene_ranklist
 
-        fu, fi = jax.jit(model.embeddings)(params)
+        fu, fi = jax.jit(lambda m, p: m.embeddings(p))(model, params)
         rank = gene_ranklist(fu, fi, history, ds.num_user)
         out = gene_metrics(ds, rank, [5, 10, 20], split="test")
     else:
