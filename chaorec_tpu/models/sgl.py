@@ -25,8 +25,8 @@ import jax.numpy as jnp
 from chaorec_tpu.graphs.dropout import (
     bernoulli_keep,
     build_two_way_arrays,
+    edge_propagate,
     sorted_masked_edge_weights,
-    sorted_two_way_propagate,
 )
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
@@ -50,11 +50,9 @@ class SGL(RecModel):
         self.n_layers = n_layers
         self.ssl_temp = ssl_temp
         self.ssl_reg = ssl_reg
-        # two-way sorted edge layout: per-batch view propagation (and its
-        # gradient) never emits an XLA scatter (graphs/dropout.py)
+        # two-way sorted edge layout for the per-batch view
+        # renormalization (graphs/dropout.py)
         self._arrs = build_two_way_arrays(graph.u_by_u, graph.i_by_u)
-        self._cast = (jnp.bfloat16 if graph.compute_dtype == "bfloat16"
-                      else jnp.float32)
 
     def init_params(self, rng: jax.Array) -> Params:
         k_u, k_i = jax.random.split(rng)
@@ -82,9 +80,11 @@ class SGL(RecModel):
             keep, self._arrs, self.num_user, self.num_item
         )
 
+        # straight autodiff edge propagation: the sorted two-way rewrite
+        # measured slower on TPU (see the r4 floor note in ngcf.py)
         def prop(xu, xi):
-            return sorted_two_way_propagate(w, xu, xi, self._arrs,
-                                            self._cast)
+            return edge_propagate(self._arrs[0], self._arrs[1], w, xu, xi,
+                                  self.num_user, self.num_item)
 
         return self._gcn_mean(
             params["user_embedding"], params["item_embedding"], prop

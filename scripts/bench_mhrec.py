@@ -94,44 +94,58 @@ def main() -> None:
                            ds.num_item, cfg.neg_candidates)
     batch = Batch(users[0], pos[0], neg, weights[0], jnp.int32(0), None)
 
-    fwd = jax.jit(lambda p, r: model.forward(p, h_v, h_t, r,
-                                             (lay_v, lay_t)))
-    timeit("forward", fwd, params, rng, iters=iters)
+    # model/layouts/incidences ride as jit ARGUMENTS (pytree leaves):
+    # closure constants of this size overflow the remote-compile tunnel
+    # (HTTP 413) before the device sees the program.
+    lays = (lay_v, lay_t)
+    fwd = jax.jit(lambda m, p, hv, ht, r, ls: m.forward(p, hv, ht, r, ls))
+    timeit("forward", fwd, model, params, h_v, h_t, rng, lays, iters=iters)
 
     # single hypergraph attention layer (modality v, layer 0)
     x0 = jnp.zeros((n, model.dim_E), jnp.float32) + 0.01
-    attn = jax.jit(lambda p, x: model._hyper_attn(p["hv_a0"], h_v, lay_v, x))
-    timeit("hyper_attn x1 (fwd)", attn, params, x0, iters=iters)
-    attn_g = jax.jit(lambda p, x: jax.grad(
-        lambda xx: jnp.sum(model._hyper_attn(p["hv_a0"], h_v, lay_v, xx) ** 2)
+    attn = jax.jit(lambda m, p, hv, lv, x: m._hyper_attn(
+        p["hv_a0"], hv, lv, x))
+    timeit("hyper_attn x1 (fwd)", attn, model, params, h_v, lay_v, x0,
+           iters=iters)
+    attn_g = jax.jit(lambda m, p, hv, lv, x: jax.grad(
+        lambda xx: jnp.sum(m._hyper_attn(p["hv_a0"], hv, lv, xx) ** 2)
     )(x))
-    timeit("hyper_attn x1 (fwd+bwd)", attn_g, params, x0, iters=iters)
+    timeit("hyper_attn x1 (fwd+bwd)", attn_g, model, params, h_v, lay_v, x0,
+           iters=iters)
 
     # 3E-wide GCN tower
-    gcn = jax.jit(lambda p: model._gcn_mean(
+    gcn = jax.jit(lambda m, p: m._gcn_mean(
         jnp.concatenate([p["u_v_emb"], p["u_t_emb"], p["u_emb"]], axis=1),
         jnp.concatenate([p["i_emb"], p["i_emb"], p["i_emb"]], axis=1)))
-    timeit("gcn_mean 3E-wide (fwd)", gcn, params, iters=iters)
+    timeit("gcn_mean 3E-wide (fwd)", gcn, model, params, iters=iters)
+    gcn_g = jax.jit(lambda m, p: jax.grad(lambda pp: jnp.sum(m._gcn_mean(
+        jnp.concatenate([pp["u_v_emb"], pp["u_t_emb"], pp["u_emb"]], axis=1),
+        jnp.concatenate([pp["i_emb"], pp["i_emb"], pp["i_emb"]], axis=1)
+    )[0] ** 2))(p))
+    timeit("gcn_mean 3E-wide (fwd+bwd)", gcn_g, model, params, iters=iters)
 
     # full per-batch unit
-    def loss_fn(p, r):
-        loss, _ = model.loss_hyper(p, batch, h_v, h_t, r, (lay_v, lay_t))
+    def loss_fn(m, p, b, hv, ht, r, ls):
+        loss, _ = m.loss_hyper(p, b, hv, ht, r, ls)
         return loss
 
-    vg = jax.jit(lambda p, r: jax.value_and_grad(loss_fn)(p, r))
-    timeit("loss_hyper value_and_grad", vg, params, rng, iters=iters)
+    vg = jax.jit(lambda m, p, b, hv, ht, r, ls: jax.value_and_grad(
+        loss_fn, argnums=1)(m, p, b, hv, ht, r, ls))
+    timeit("loss_hyper value_and_grad", vg, model, params, batch, h_v, h_t,
+           rng, lays, iters=iters)
 
     # forward without the hyper-dropout RNG (isolate threefry cost)
+    drop = model.hyper_dropout
     try:
-        drop = model.hyper_dropout
         model.hyper_dropout = 0.0
-        fwd_nodrop = jax.jit(lambda p, r: model.forward(
-            p, h_v, h_t, r, (lay_v, lay_t)))
-        timeit("forward (dropout=0 variant)", fwd_nodrop, params, rng,
-               iters=iters)
-        vg2 = jax.jit(lambda p, r: jax.value_and_grad(loss_fn)(p, r))
-        timeit("val+grad (dropout=0 variant)", vg2, params, rng,
-               iters=iters)
+        fwd_nodrop = jax.jit(lambda m, p, hv, ht, r, ls: m.forward(
+            p, hv, ht, r, ls))
+        timeit("forward (dropout=0 variant)", fwd_nodrop, model, params,
+               h_v, h_t, rng, lays, iters=iters)
+        vg2 = jax.jit(lambda m, p, b, hv, ht, r, ls: jax.value_and_grad(
+            loss_fn, argnums=1)(m, p, b, hv, ht, r, ls))
+        timeit("val+grad (dropout=0 variant)", vg2, model, params, batch,
+               h_v, h_t, rng, lays, iters=iters)
     finally:
         model.hyper_dropout = drop
 
