@@ -2,7 +2,8 @@
 
 Reference: Model/MMSSL.py + the alternating loop at
 train_and_evaluate.py:49-71. Capabilities reproduced:
-- forward (Model/MMSSL.py:289-365): D^-1-normalized ui/iu propagation of
+- forward (Model/MMSSL.py:289-365): rowsum^(-0.5)-scaled ui/iu propagation
+  (csr_norm(mean_flag=True) at :176-190 is D^{-1/2}A, NOT a row mean) of
   projected modal features (dropout 0.2), modal id propagation over the
   *rebuilt* modal graphs, behavior-pair multi-head attention fusion (the
   reference's per-node 2-behavior attention, including the d_h-summed
@@ -54,6 +55,12 @@ from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
 from chaorec_tpu.ops.losses import l2norm, masked_mean
 
 
+def _row_half(m):
+    """Rows scaled by rowsum^(-0.5): csr_norm(mean_flag=True),
+    Model/MMSSL.py:176-190 (np.power(rowsum + 1e-8, -0.5))."""
+    return m * jax.lax.rsqrt(m.sum(1, keepdims=True) + 1e-8)
+
+
 def _batchnorm(x):
     mu = jnp.mean(x, axis=0, keepdims=True)
     var = jnp.var(x, axis=0, keepdims=True)
@@ -89,11 +96,11 @@ class MMSSL(RecModel):
         self.v_feat = v_feat
         self.t_feat = t_feat
         self.raw_ui = raw_ui  # (U, I) binary
-        # D^-1 row-normalized ui / iu graphs (csr_norm mean_flag=True)
-        du = jnp.maximum(raw_ui.sum(1), 1e-7)
-        di = jnp.maximum(raw_ui.sum(0), 1e-7)
-        self.ui_graph = raw_ui / du[:, None]
-        self.iu_graph = raw_ui.T / di[:, None]
+        # csr_norm(mean_flag=True) (Model/MMSSL.py:176-190) scales ROWS by
+        # rowsum^(-0.5) — NOT a row mean. ui_graph = D_u^{-1/2} A,
+        # iu_graph = D_i^{-1/2} A^T.
+        self.ui_graph = _row_half(raw_ui)
+        self.iu_graph = _row_half(raw_ui.T)
         self.k_top = int(num_item * self.m_topk_rate)
 
     # ---------------- params ----------------
@@ -137,10 +144,15 @@ class MMSSL(RecModel):
         return p
 
     def init_state(self, rng: jax.Array):
+        # State holds the RAW modal count matrices (the reference's
+        # image/text_ui_graph_tmp before csr_norm); both the D_r^{-1/2}
+        # ui view and the D_c^{-1/2} iu view are derived in forward so
+        # the transpose normalization sees the true counts (duplicate
+        # users in a batch accumulate, Model/MMSSL.py:561-583).
         b = self._batch_size
         return {
-            "image_ui": self.ui_graph,
-            "text_ui": self.ui_graph,
+            "image_cnt": self.raw_ui,
+            "text_cnt": self.raw_ui,
             "buf_users": jnp.zeros((b,), jnp.int32),
             "buf_image": jnp.zeros((b, max(self.k_top, 1)), jnp.int32),
             "buf_text": jnp.zeros((b, max(self.k_top, 1)), jnp.int32),
@@ -176,6 +188,13 @@ class MMSSL(RecModel):
                 k1, keep, image_feats.shape) / keep
             text_feats = text_feats * jax.random.bernoulli(
                 k2, keep, text_feats.shape) / keep
+        # modal graphs: csr_norm(tmp, mean) = D_r^{-1/2} tmp for the ui
+        # side, csr_norm(tmp.T, mean) = D_c^{-1/2} tmp^T for the iu side
+        # (Model/MMSSL.py:570-583); counts live in state, views derived.
+        img_ui = _row_half(state["image_cnt"])
+        txt_ui = _row_half(state["text_cnt"])
+        img_iu = _row_half(state["image_cnt"].T)
+        txt_iu = _row_half(state["text_cnt"].T)
         img_item = image_feats
         txt_item = text_feats
         img_user = txt_user = None
@@ -183,18 +202,13 @@ class MMSSL(RecModel):
         for _ in range(self.mm_layers):
             img_user = self.ui_graph @ img_item
             img_item = self.iu_graph @ img_user
-            img_uid = state["image_ui"] @ params["item_id_embedding"]
+            img_uid = img_ui @ params["item_id_embedding"]
             txt_user = self.ui_graph @ txt_item
             txt_item = self.iu_graph @ txt_user
-            txt_uid = state["text_ui"] @ params["item_id_embedding"]
-        # iu graphs: row-normalized transpose of the (binary support of the)
-        # rebuilt ui graphs (csr_norm(mean) of tmp.T, Model/MMSSL.py:570-580)
-        def iu_norm(ui):
-            sup = (ui > 0).astype(jnp.float32).T
-            return sup / jnp.maximum(sup.sum(1, keepdims=True), 1e-7)
+            txt_uid = txt_ui @ params["item_id_embedding"]
 
-        img_iid = iu_norm(state["image_ui"]) @ params["user_id_embedding"]
-        txt_iid = iu_norm(state["text_ui"]) @ params["user_id_embedding"]
+        img_iid = img_iu @ params["user_id_embedding"]
+        txt_iid = txt_iu @ params["user_id_embedding"]
 
         def attention(e_img, e_txt):
             # multi_head_self_attention (Model/MMSSL.py:247-287).
@@ -307,16 +321,14 @@ class MMSSL(RecModel):
         def rebuild(_):
             valid = state["buf_valid"] > 0
             contrib = jnp.where(valid & (self.k_top > 0), 1.0, 0.0)
-            img = jnp.zeros_like(state["image_ui"]).at[
+            img = jnp.zeros_like(state["image_cnt"]).at[
                 state["buf_users"][:, None], state["buf_image"]
             ].add(contrib)
-            txt = jnp.zeros_like(state["text_ui"]).at[
+            txt = jnp.zeros_like(state["text_cnt"]).at[
                 state["buf_users"][:, None], state["buf_text"]
             ].add(contrib)
-            img = img / jnp.maximum(img.sum(1, keepdims=True), 1e-7)
-            txt = txt / jnp.maximum(txt.sum(1, keepdims=True), 1e-7)
             return {
-                "image_ui": img, "text_ui": txt,
+                "image_cnt": img, "text_cnt": txt,
                 "buf_users": state["buf_users"],
                 "buf_image": state["buf_image"],
                 "buf_text": state["buf_text"],
@@ -325,7 +337,8 @@ class MMSSL(RecModel):
 
         def accumulate(_):
             return {
-                "image_ui": state["image_ui"], "text_ui": state["text_ui"],
+                "image_cnt": state["image_cnt"],
+                "text_cnt": state["text_cnt"],
                 "buf_users": bu, "buf_image": img_top, "buf_text": txt_top,
                 "buf_valid": jnp.ones(()),
             }
