@@ -118,6 +118,35 @@ def main() -> None:
         _, _, _, loss = base.train_epoch(params, opt_state,
                                          jax.random.PRNGKey(7), 0)
         out = loss
+    elif comp == "epoch_eval":
+        # the real run's co-residency: whole-epoch program and the fused
+        # eval program dispatched back-to-back without an intervening
+        # block (Trainer.run's eval_pipeline) — the unit that
+        # distinguishes the crashed combo runs from the passing "epoch"
+        # and "eval" components run in isolation.
+        from chaorec_tpu.eval.metrics import gene_metrics
+        from chaorec_tpu.eval.ranking import gene_ranklist
+        from chaorec_tpu.train.loop import Trainer
+
+        trainer_cls = getattr(model, "trainer_cls", Trainer)
+        tr = trainer_cls(model, ds, cfg)
+        base = getattr(tr, "_base", tr)
+        opt_state = base.init_opt_state(params)
+        new_params, _, _, loss = base.train_epoch(params, opt_state,
+                                                  jax.random.PRNGKey(7), 0)
+        fu, fi = jax.jit(lambda m, p: m.embeddings(p))(model, new_params)
+        rank = gene_ranklist(fu, fi, history, ds.num_user)
+        out = (loss, gene_metrics(ds, rank, [5, 10, 20], split="test"))
+    elif comp == "run2":
+        # the full Trainer.run driver for 2 epochs, checkpointing OFF —
+        # isolates the orbax checkpoint manager from the crash.
+        from chaorec_tpu.train.loop import Trainer
+
+        cfg.num_epoch = 2
+        cfg.checkpoint_dir = ""
+        trainer_cls = getattr(model, "trainer_cls", Trainer)
+        tr = trainer_cls(model, ds, cfg)
+        out = tr.run()
     elif comp == "eval":
         from chaorec_tpu.eval.metrics import gene_metrics
         from chaorec_tpu.eval.ranking import gene_ranklist
