@@ -337,6 +337,10 @@ class AdaGCLTrainer:
         self._base = Trainer(model, dataset, cfg)
         base = self._base
         num_item = dataset.num_item
+        # Same co-residency guard as GradeTrainer: AdaGCL/netfilx
+        # (E=259280) faulted the worker; AdaGCL/beauty (E=93413) is fine.
+        if dataset.train_edges.shape[0] >= 120_000:
+            model.serialize_device = True
 
         opt = optax.adam(cfg.learning_rate)
         opt_g1 = optax.multi_transform(

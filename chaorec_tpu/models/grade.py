@@ -290,6 +290,12 @@ class GradeTrainer:
         self._base = Trainer(model, dataset, cfg)
         base = self._base
         num_item = dataset.num_item
+        # Co-residency guard: at >=1.2e5 training edges the tri-generator
+        # epoch program + fused eval dispatched back-to-back fault the TPU
+        # worker (each passes alone — parity_logs/grade_crash_probe.txt).
+        # Crash seen at E=158554 (sports); E=93413 (beauty) is fine.
+        if dataset.train_edges.shape[0] >= 120_000:
+            model.serialize_device = True
         opt = optax.adam(cfg.learning_rate)
 
         from chaorec_tpu.models.adagcl import generator_labels

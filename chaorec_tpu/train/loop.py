@@ -602,7 +602,18 @@ class Trainer:
         # so the saved early-stop state covers exactly the epochs the
         # saved params do — exact continuation, while the other
         # checkpoint_every-1 epochs stay pipelined.
-        pipeline = (cfg.eval_pipeline
+        # Device-program serialization guard: on the generator families at
+        # large edge counts (Grade/sports, AdaGCL/netfilx) the whole-epoch
+        # program and the fused eval program dispatched back-to-back kill
+        # the TPU worker, while each passes in isolation
+        # (parity_logs/grade_crash_probe.txt — epoch OK, eval OK,
+        # epoch+eval co-resident faults). When a model declares
+        # serialize_device, block on the epoch program before dispatching
+        # eval so only one large program is ever resident. On a single
+        # chip programs execute serially anyway — this costs only the
+        # host-side metrics-fetch overlap, not device time.
+        serialize = bool(getattr(self.model, "serialize_device", False))
+        pipeline = (cfg.eval_pipeline and not serialize
                     and not cfg.export_artifact and not cfg.profile_dir)
 
         def finish(entry) -> bool:
@@ -650,6 +661,8 @@ class Trainer:
             params, opt_state, rng, loss = self.train_epoch(
                 params, opt_state, rng, epoch
             )
+            if serialize:
+                jax.block_until_ready(params)
             has_scalar = not isinstance(loss, float)
             _, resolve = self.evaluate_async(
                 params, extra_scalar=loss if has_scalar else None)
