@@ -195,17 +195,21 @@ class MMSSL(RecModel):
         txt_ui = _row_half(state["text_cnt"])
         img_iu = _row_half(state["image_cnt"].T)
         txt_iu = _row_half(state["text_cnt"].T)
-        img_item = image_feats
-        txt_item = text_feats
-        img_user = txt_user = None
-        img_uid = txt_uid = None
-        for _ in range(self.mm_layers):
-            img_user = self.ui_graph @ img_item
-            img_item = self.iu_graph @ img_user
-            img_uid = img_ui @ params["item_id_embedding"]
-            txt_user = self.ui_graph @ txt_item
-            txt_item = self.iu_graph @ txt_user
-            txt_uid = txt_ui @ params["item_id_embedding"]
+        # The reference's mmlayer loop (Model/MMSSL.py:302-315) is
+        # IDEMPOTENT: ``image_user_feats = mm(ui_graph, image_feats)``
+        # always reads the original transformed features (image_feats is
+        # never reassigned inside the loop — only image_item_feats is),
+        # so for every mmlayer value the final tower is exactly one
+        # ui-hop for users and iu∘ui for items. Iterating on the updated
+        # item features instead (3-/4-hop at mm_layers=2) measurably
+        # diverges (xfw baby trajectory −20%). Compute the fixed point
+        # directly.
+        img_user = self.ui_graph @ image_feats
+        img_item = self.iu_graph @ img_user
+        img_uid = img_ui @ params["item_id_embedding"]
+        txt_user = self.ui_graph @ text_feats
+        txt_item = self.iu_graph @ txt_user
+        txt_uid = txt_ui @ params["item_id_embedding"]
 
         img_iid = img_iu @ params["user_id_embedding"]
         txt_iid = txt_iu @ params["user_id_embedding"]
