@@ -341,11 +341,13 @@ def build_segment_transpose(indices: jnp.ndarray, num_segments: int
 
 
 def _seg_sum_primal(values, flat_idx, perm, ptr):
+    from chaorec_tpu.ops.pallas_scan import prefix_cumsum
+
     v = values[perm]
     squeeze = v.ndim == 1
     if squeeze:
         v = v[:, None]
-    cs = jnp.cumsum(v.astype(jnp.float32), axis=0)
+    cs = prefix_cumsum(v)
     cs = jnp.concatenate([jnp.zeros((1, cs.shape[1]), cs.dtype), cs], 0)
     out = cs[ptr[1:]] - cs[ptr[:-1]]
     return out[:, 0] if squeeze else out
@@ -419,9 +421,11 @@ seg_gather.defvjp(_seg_gather_fwd, _seg_gather_bwd)
 
 
 def _sews_primal(edge_emb, alpha, perm, edge_perm, ptr):
+    from chaorec_tpu.ops.pallas_scan import prefix_cumsum
+
     v = (alpha.reshape(-1)[perm][:, None]
          * jnp.take(edge_emb, edge_perm, axis=0)).astype(jnp.float32)
-    cs = jnp.cumsum(v, axis=0)
+    cs = prefix_cumsum(v)
     cs = jnp.concatenate([jnp.zeros((1, cs.shape[1]), cs.dtype), cs], 0)
     return cs[ptr[1:]] - cs[ptr[:-1]]
 

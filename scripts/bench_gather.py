@@ -13,8 +13,11 @@ op so floor analyses (PARITY.md) cite a measured table:
 Usage: python scripts/bench_gather.py [E] [N] [D] [iters]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
