@@ -34,12 +34,14 @@ _BLOCK = 512
 
 
 def use_pallas_scan() -> bool:
-    """Kernel on real TPU; plain-XLA ``jnp.cumsum`` elsewhere (CPU
-    tests run the kernel via interpret mode in tests only).
+    """Opt-in (``CHAOREC_PALLAS_SCAN=1``) and TPU-only.
 
-    ``CHAOREC_NO_PALLAS_SCAN=1`` forces the XLA path even on TPU — the
-    same escape hatch pattern as ops/pallas_attn.use_fused_attn."""
-    if os.environ.get("CHAOREC_NO_PALLAS_SCAN"):
+    Measured on v5e at M=187k, D=64 (parity_logs/gather_rates.txt): the
+    blocked tri-matmul scan is ~12% SLOWER than XLA's multi-pass
+    ``jnp.cumsum`` inside seg_sum (1.77 vs 1.58 ms) — the fp32-HIGHEST
+    MXU passes outweigh the saved HBM round trips at these sizes. The
+    kernel stays available for larger-M workloads; default is XLA."""
+    if not os.environ.get("CHAOREC_PALLAS_SCAN"):
         return False
     return jax.default_backend() == "tpu"
 
