@@ -137,6 +137,29 @@ def main() -> None:
         fu, fi = jax.jit(lambda m, p: m.embeddings(p))(model, new_params)
         rank = gene_ranklist(fu, fi, history, ds.num_user)
         out = (loss, gene_metrics(ds, rank, [5, 10, 20], split="test"))
+    elif comp == "epoch_eval_bisect":
+        # epoch_eval crashes even fully serialized (probe3), so the
+        # fault lives in ONE post-epoch stage. Hard host-sync after each
+        # eval stage: the last "stage ... OK" line printed before the
+        # worker dies attributes the fault.
+        from chaorec_tpu.eval.metrics import gene_metrics
+        from chaorec_tpu.eval.ranking import gene_ranklist
+        from chaorec_tpu.train.loop import Trainer
+
+        trainer_cls = getattr(model, "trainer_cls", Trainer)
+        tr = trainer_cls(model, ds, cfg)
+        base = getattr(tr, "_base", tr)
+        opt_state = base.init_opt_state(params)
+        new_params, _, _, loss = base.train_epoch(params, opt_state,
+                                                  jax.random.PRNGKey(7), 0)
+        print(f"stage epoch OK loss={float(loss):.3f}", flush=True)
+        fu, fi = jax.jit(lambda m, p: m.embeddings(p))(model, new_params)
+        print(f"stage embeddings OK fu00={float(fu[0, 0]):.5f}",
+              flush=True)
+        rank = gene_ranklist(fu, fi, history, ds.num_user)
+        print(f"stage ranklist OK r00={int(rank[0, 0])}", flush=True)
+        out = gene_metrics(ds, rank, [5, 10, 20], split="test")
+        print("stage metrics OK", flush=True)
     elif comp == "run2":
         # the full Trainer.run driver for 2 epochs, checkpointing OFF —
         # isolates the orbax checkpoint manager from the crash.
@@ -156,8 +179,15 @@ def main() -> None:
         out = gene_metrics(ds, rank, [5, 10, 20], split="test")
     else:
         sys.exit(f"unknown component {comp}")
-    jax.block_until_ready(out)
-    print(f"component {comp}: OK", flush=True)
+    # REAL host fetch: block_until_ready does not actually block through
+    # the device tunnel (probe rounds 1-3 reported false OKs — the
+    # epoch program's crash only surfaces at a value fetch).
+    import numpy as np
+
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "dtype")]
+    sig = float(sum(np.asarray(l).ravel()[0] for l in leaves))
+    print(f"component {comp}: OK (sig={sig:.5e})", flush=True)
 
 
 if __name__ == "__main__":

@@ -226,12 +226,6 @@ combo DiffRec beauty 7200 '{"learning_rate": 0.0005, "noise_scale": 0.001, "nois
 # (ref log/GFormer_beauty.log best 0.12273 at this combo, 89 epochs).
 combo GFormer beauty 10800 '{"n_layers": 1, "pnn_layer": 1, "reg_weight": 0.0001, "ssl_alpha": 1, "b2": 0.1, "ctra": 0.0001, "learning_rate": 0.001}'
 
-# AdaGCL/netfilx: ref grid best 0.21549 at this combo
-# (96-combo grid took the reference ~40 GPU-hours; re-scoped to the
-# ref's best combo only — the r2 combo-4 grid partial was retired,
-# VERDICT r2 item 9).
-combo AdaGCL netfilx 10800 '{"n_layers": 2, "learning_rate": 0.001, "reg_weight": 0.1, "ssl_alpha": 0.2, "ssl_temp": 0.5}'
-
 # HCCF/netfilx: ref best 0.2331 at this combo (21-combo partial log).
 combo HCCF netfilx 10800 '{"n_layers": 3, "learning_rate": 0.001, "reg_weight": 1e-05, "ssl_alpha": 0.1, "ssl_temp": 0.5, "leaky": 1.0, "keepRate": 1.0, "mult": 0.01}'
 
@@ -244,7 +238,6 @@ combo HCCF netfilx 10800 '{"n_layers": 3, "learning_rate": 0.001, "reg_weight": 
 GRADE='{"n_layers": 5, "learning_rate": 0.001, "reg_weight": 0.1, "ssl_alpha": 0.2, "ssl_temp": 0.3, "ssl_temp2": 0.3, "noise_alpha": 0.2}'
 combo Grade beauty 7200 "$GRADE"
 combo Grade clothing 7200 "$GRADE"
-combo Grade sports 10800 "$GRADE"
 # DHCF/sports: 18-combo grid truncated; test best-so-far 0.05622 at this
 # combo (log/DHCF_sports.log).
 combo DHCF sports 10800 '{"n_layers": 1, "learning_rate": 0.001, "reg_weight": 1e-05, "dropout": 0}'
@@ -268,6 +261,17 @@ combo DDRec microlens 10800 '{"learning_rate": 0.001, "reg_weight": 0.1, "ssl_al
 combo LightGT sports 10800 '{"n_layers": 4, "learning_rate": 0.01, "reg_weight": 0.001}'
 combo MMGCL beauty 7200 '{"learning_rate": 0.001, "ssl_alpha": 0.5, "ssl_temp": 0.2, "reg_weight": 0.001, "n_layers": 1, "dropout": 0.1}'
 combo MGCL beauty 7200 '{"learning_rate": 0.01, "ssl_alpha": 0.1, "n_layers": 5, "ssl_temp": 0.2, "reg_weight": 0.1}'
+
+# LAST: the two workloads whose whole-epoch program currently kills the
+# TPU worker (Grade/sports, AdaGCL/netfilx — scripts/probe_grade_crash.py
+# bisect in progress). They burn their full elastic-retry budget every
+# pass, so they must not gate the healthy runs above.
+combo Grade sports 10800 "$GRADE"
+# AdaGCL/netfilx: ref grid best 0.21549 at this combo
+# (96-combo grid took the reference ~40 GPU-hours; re-scoped to the
+# ref's best combo only — the r2 combo-4 grid partial was retired,
+# VERDICT r2 item 9).
+combo AdaGCL netfilx 10800 '{"n_layers": 2, "learning_rate": 0.001, "reg_weight": 0.1, "ssl_alpha": 0.2, "ssl_temp": 0.5}'
 
 # CF_Diff/beauty LAST (tail absorber): ref log truncated (no Best
 # block); full early-stopped run at the first yaml combo for the
