@@ -213,7 +213,14 @@ class MHRec(RecModel):
             [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
         d = x.shape[1]
         xi = seg_gather(x_pad, flat, perm, ptr)  # (M, D) flat slot order
-        edge_emb = jnp.sum(xi.reshape(he, k, d), axis=1)  # E = H^T X
+        # (He, k*D) packed view of the slot rows (free: row-major slots
+        # are contiguous per edge). All per-slot arithmetic below is
+        # unrolled over k as fat 2-D slices — a (He, k, D) tensor with
+        # k=2 would waste 6/8 sublanes of every (8, 128) TPU vector tile.
+        xp = xi.reshape(he, k * d)
+        edge_emb = xp[:, :d]
+        for j in range(1, k):
+            edge_emb = edge_emb + xp[:, j * d:(j + 1) * d]  # E = H^T X
         # a = [a_self; a_edge]: score_{e,k} = x_{node} . a_self +
         # edge_emb_e . a_edge — two thin matvecs instead of the
         # reference's concat([x_i, e_j]) @ a over a materialized
@@ -229,12 +236,16 @@ class MHRec(RecModel):
         # scatter-free path (zero-mean messages, random-walk totals).
         sums = jax.ops.segment_sum(
             e_exp.reshape(-1), flat, num_segments=int(ptr.shape[0]) - 1)
-        denom = seg_gather(sums[:, None], flat, perm, ptr).reshape(he, k)
-        alpha = e_exp / (denom + 1e-16)
-        # fused alpha-weighted edge-message aggregation: never
-        # materializes the (He*k, D) message tensor
-        return seg_edge_weighted_sum(
-            edge_emb, alpha, flat, perm, edge_perm, ptr)[:self.num_nodes]
+        # Normalization is applied AFTER aggregation: every slot of a
+        # node shares the node's softmax denominator, so
+        # sum_k (e/sums)*edge == (sum_k e*edge)/sums exactly — this
+        # drops the per-slot denominator gather (He*k rows) and, more
+        # importantly, its VJP's pathological (M, 1) prefix-sum from the
+        # step gradient. Aggregate unnormalized with e_exp as weights,
+        # divide once at node granularity.
+        agg = seg_edge_weighted_sum(
+            edge_emb, e_exp, flat, perm, edge_perm, ptr)[:self.num_nodes]
+        return agg / (sums[:self.num_nodes, None] + 1e-16)
 
     def _gcn_mean(self, xu, xi):
         us, its = [xu], [xi]

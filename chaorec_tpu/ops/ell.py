@@ -463,12 +463,24 @@ def _sews_fwd(edge_emb, alpha, flat_idx, perm, edge_perm, ptr):
 def _sews_bwd(res, g):
     edge_emb, alpha, flat_idx, perm, edge_perm, ptr = res
     he, k = alpha.shape
-    g_slot = jnp.take(g, flat_idx, axis=0).reshape(he, k, -1)
-    d_edge = jnp.einsum("hk,hkd->hd", alpha.astype(jnp.float32),
-                        g_slot.astype(jnp.float32)).astype(edge_emb.dtype)
-    d_alpha = jnp.einsum("hd,hkd->hk", edge_emb.astype(jnp.float32),
-                         g_slot.astype(jnp.float32)).astype(alpha.dtype)
-    return (d_edge, d_alpha, _zero_cot(flat_idx), _zero_cot(perm),
+    d = edge_emb.shape[1]
+    # (He, k*D) packed view instead of a (He, k, D) tensor: TPU tiles are
+    # (8, 128); a k=2 middle dim would waste 6/8 sublanes of every
+    # vector op, so the per-slot terms are statically unrolled over k as
+    # fat 2-D slices (k is a small config constant).
+    g_pack = jnp.take(g, flat_idx, axis=0).astype(jnp.float32)
+    g_pack = g_pack.reshape(he, k * d)
+    a32 = alpha.astype(jnp.float32)
+    e32 = edge_emb.astype(jnp.float32)
+    d_edge = jnp.zeros((he, d), jnp.float32)
+    d_alpha = []
+    for j in range(k):
+        gj = g_pack[:, j * d:(j + 1) * d]
+        d_edge = d_edge + a32[:, j:j + 1] * gj
+        d_alpha.append(jnp.sum(e32 * gj, axis=1))
+    return (d_edge.astype(edge_emb.dtype),
+            jnp.stack(d_alpha, axis=1).astype(alpha.dtype),
+            _zero_cot(flat_idx), _zero_cot(perm),
             _zero_cot(edge_perm), _zero_cot(ptr))
 
 

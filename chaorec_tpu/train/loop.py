@@ -662,7 +662,15 @@ class Trainer:
                 params, opt_state, rng, epoch
             )
             if serialize:
-                jax.block_until_ready(params)
+                # A REAL host fetch, not block_until_ready: through the
+                # remote-TPU tunnel block_until_ready returns without
+                # waiting (memory: tpu-tunnel-measurement), which made
+                # this guard a silent no-op. Fetching one scalar of an
+                # epoch-program output waits for the whole program, so
+                # the fused eval program is only dispatched once the
+                # epoch program has retired.
+                leaf = jax.tree_util.tree_leaves(params)[0]
+                jax.device_get(leaf.reshape(-1)[0])
             has_scalar = not isinstance(loss, float)
             _, resolve = self.evaluate_async(
                 params, extra_scalar=loss if has_scalar else None)

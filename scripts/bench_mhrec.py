@@ -39,14 +39,31 @@ from chaorec_tpu.models import build_model  # noqa: E402
 from chaorec_tpu.models.base import Batch  # noqa: E402
 
 
+def _sync(out):
+    """Real host fetch — block_until_ready does not block through the
+    axon tunnel (see memory: tpu-tunnel-measurement)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).reshape(-1)[0])
+
+
 def timeit(name, fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) / iters * 1e3
+    """Delta timing: dispatch k and 3k iterations, each synced by a real
+    scalar fetch; report (t_3k - t_k) / 2k so the tunnel RTT and fetch
+    cost cancel."""
+    out = fn(*args)  # compile
+    _sync(out)
+
+    def run(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fn(*args)
+        _sync(o)
+        return time.perf_counter() - t0
+
+    t1 = run(iters)
+    t3 = run(3 * iters)
+    ms = (t3 - t1) / (2 * iters) * 1e3
     print(f"  {name:<36} {ms:9.3f} ms", flush=True)
     return ms
 
@@ -111,6 +128,33 @@ def main() -> None:
         lambda xx: jnp.sum(m._hyper_attn(p["hv_a0"], hv, lv, xx) ** 2)
     )(x))
     timeit("hyper_attn x1 (fwd+bwd)", attn_g, model, params, h_v, lay_v, x0,
+           iters=iters)
+
+    # micro-ops of the attention, to attribute its budget
+    flat, perm, ptr, edge_perm = lay_v
+    x_pad = jnp.concatenate([x0, jnp.zeros((1, x0.shape[1]))], 0)
+    ee = jnp.abs(jax.random.normal(rng, (he * k,))) + 0.5
+    eemb = jax.random.normal(rng, (he, model.dim_E))
+    timeit("micro: gather M rows (M,D)",
+           jax.jit(lambda xp, f: jnp.take(xp, f, axis=0)), x_pad, flat,
+           iters=iters)
+    msgs = jax.random.normal(rng, (he * k, model.dim_E))
+    timeit("micro: cumsum (M,D) fp32",
+           jax.jit(lambda v: jnp.cumsum(v, axis=0)), msgs, iters=iters)
+    timeit("micro: scalar segsum unsorted",
+           jax.jit(lambda v, f: jax.ops.segment_sum(
+               v, f, num_segments=n + 1)), ee, flat, iters=iters)
+    sorted_idx = flat[perm]
+    ee_sorted = ee[perm]
+    timeit("micro: scalar segsum sorted",
+           jax.jit(lambda v, f: jax.ops.segment_sum(
+               v, f, num_segments=n + 1, indices_are_sorted=True)),
+           ee_sorted, sorted_idx, iters=iters)
+    from chaorec_tpu.ops.ell import seg_edge_weighted_sum
+    timeit("micro: sews fwd",
+           jax.jit(lambda em, al, f, pm, ep, pt: seg_edge_weighted_sum(
+               em, al, f, pm, ep, pt)),
+           eemb, ee.reshape(he, k), flat, perm, edge_perm, ptr,
            iters=iters)
 
     # 3E-wide GCN tower

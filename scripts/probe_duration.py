@@ -38,14 +38,17 @@ def run_for(target_s: float, rate_iters_per_s: float) -> None:
 
 
 def main() -> None:
-    targets = [float(a) for a in sys.argv[1:]] or [15, 45, 90, 150]
-    # calibrate: time 2000 iters
+    targets = [float(a) for a in sys.argv[1:]] or [15, 30, 45, 60, 90]
     t0 = time.perf_counter()
     run_for(0, 1)  # compile with n=1
     print(f"compile+1iter {time.perf_counter() - t0:.1f}s", flush=True)
+    # calibrate with a sample long enough to swamp dispatch overhead
+    # (the first probe calibrated on 2000 iters ~ 0.1 s device and read
+    # a 37x-low rate, so its "300s" target ran 8s)
+    n_cal = 400_000
     t0 = time.perf_counter()
-    run_for(0.0005, 4_000_000)  # n=2000
-    rate = 2000 / max(time.perf_counter() - t0, 1e-3)
+    run_for(0.0005, 2 * n_cal * 1000)  # n = n_cal
+    rate = n_cal / max(time.perf_counter() - t0, 1e-3)
     print(f"calibrated {rate:.0f} iters/s", flush=True)
     for s in targets:
         run_for(s, rate)

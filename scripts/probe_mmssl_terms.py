@@ -82,7 +82,8 @@ def main() -> None:
     mf, emb, feat_reg, cl, g_lossf, loss_d, stats = terms(
         model, params, state, batch, k_f, k_d, jax.random.PRNGKey(5))
 
-    print(f"batch_size_actual={bu.shape[0]} num_batches={users.shape[0]}")
+    print(f"batch_size_actual={batch.users.shape[0]} "
+          f"num_batches={users.shape[0]}")
     for name, v in [
         ("mf", mf), ("emb", emb), ("feat_reg", feat_reg),
         ("cl(raw)", cl), ("cl*rate", model.cl_rate * cl),
