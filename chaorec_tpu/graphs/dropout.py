@@ -90,9 +90,12 @@ def edge_propagate(edge_u, edge_i, w, xu, xi, num_user: int, num_item: int):
     """One symmetric hop over weighted edges (u-sorted edge list).
 
     NOTE: the item-side reduce is an UNSORTED segment_sum (scatter-add on
-    TPU) and autodiff of the gathers emits unsorted scatters too — fine
-    for per-epoch callers, slow inside a per-batch step. Per-batch layers
-    (NGCF) use :func:`sorted_two_way_propagate` instead."""
+    TPU) and autodiff of the gathers emits unsorted scatters too. A
+    scatter-free alternative exists (:func:`sorted_two_way_propagate`)
+    but MEASURED SLOWER for NGCF's per-batch layers on TPU (1.74 s vs
+    1.31 s epochs, r4 — see the note in models/ngcf.py): its backward
+    pays 4-6 row gathers where autodiff's unsorted scatters cost about
+    the same as gathers. NGCF/SGL therefore keep this autodiff path."""
     new_u = jax.ops.segment_sum(
         w[:, None] * xi[edge_i], edge_u, num_segments=num_user,
         indices_are_sorted=True)

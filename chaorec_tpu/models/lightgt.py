@@ -98,14 +98,18 @@ class LightGT(RecModel):
         # (seed, draw counter). The trainer calls resample_eval() before
         # each ranking pass (train/loop.py evaluate_async).
         self._eval_seed = seed
-        self._eval_draws = 0
+        # 0-d array, NOT a python int: ints land in the pytree's static
+        # aux_data (base.py flatten), so bumping one per eval pass would
+        # change the treedef and retrace/recompile the jitted scoring
+        # program every evaluation (one executable per epoch).
+        self._eval_draws = np.zeros((), np.int32)
         self.resample_eval()
 
     def resample_eval(self) -> None:
         """Draw fresh per-user eval subsequences (device-side)."""
         rng = jax.random.fold_in(
-            jax.random.PRNGKey(self._eval_seed), self._eval_draws)
-        self._eval_draws += 1
+            jax.random.PRNGKey(self._eval_seed), int(self._eval_draws))
+        self._eval_draws = np.asarray(int(self._eval_draws) + 1, np.int32)
         self.eval_items, self.eval_mask = _draw_eval_subsets(
             jnp.asarray(self.hist), rng, self.num_item, self.eval_src_len)
 

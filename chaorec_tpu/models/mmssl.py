@@ -269,10 +269,15 @@ class MMSSL(RecModel):
         inputf = jnp.concatenate([img_sim, txt_sim], 0)
         lossf = jnp.mean(self.discriminate(params, inputf, k_d1))
         u_ui = self.raw_ui[users]
-        gum = -jnp.log(-jnp.log(
+        # Model/MMSSL.py:513-516: softmax(u_ui - scale * log(-log U + eps)
+        # / tau). Precedence quirk: `/ real_data_tau` binds to the NOISE
+        # TERM ONLY — the binary u_ui logits are NOT sharpened by 1/tau
+        # (tau=0.005 would make them 200x sharper), and the noise enters
+        # as log(-log U) (= MINUS a standard Gumbel), not -log(-log U).
+        gum = jnp.log(-jnp.log(
             jax.random.uniform(k_gum, u_ui.shape) + 1e-8) + 1e-8)
         u_real = jax.nn.softmax(
-            (u_ui - self.log_log_scale * gum) / self.real_data_tau, axis=1
+            u_ui - self.log_log_scale * gum / self.real_data_tau, axis=1
         )
         u_real = l2norm(u_real + ui_sim * self.ui_pre_scale)
         inputr = jnp.concatenate([u_real, u_real], 0)

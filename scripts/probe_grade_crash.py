@@ -106,6 +106,69 @@ def main() -> None:
             lambda m, p, o, g, b, k1, k3: grade_step(
                 m, opt, opt_gens, p, o, g, b, k1, k3)
         )(model, params, o, gens, batch, rng, jax.random.PRNGKey(5))
+    elif comp.startswith("scan"):
+        # epoch scan truncated to the first N batches (comp = "scanN"),
+        # optionally restricted to a subset of the 3 loss steps via
+        # PROBE_LOSSES=l1,bpr,gen. Binary-search N to find the batch
+        # count where the worker dies, and ablate losses to attribute.
+        from chaorec_tpu.models.adagcl import generator_labels
+
+        n_batches = int(comp[4:]) if len(comp) > 4 else users.shape[0]
+        losses_on = os.environ.get("PROBE_LOSSES", "l1,bpr,gen").split(",")
+        opt = optax.adam(cfg.learning_rate)
+        opt_gens = [
+            optax.multi_transform(
+                {"g": optax.adam(cfg.learning_rate),
+                 "f": optax.set_to_zero()},
+                generator_labels(model, f"g{i}_"))
+            for i in (1, 2, 3)
+        ]
+        print(f"scan probe: n_batches={n_batches} losses={losses_on}",
+              flush=True)
+
+        def epoch(m, params, opts, rng, u_all, p_all, w_all, hist):
+            o, o1, o2, o3 = opts
+
+            def step(carry, xs):
+                params, o, o1, o2, o3, rng = carry
+                u, p, w = xs
+                rng, k_neg, k1, k3 = jax.random.split(rng, 4)
+                neg = sample_negatives(k_neg, u, hist, ds.num_item,
+                                       cfg.neg_candidates)
+                b = Batch(u, p, neg, w)
+                total = jnp.float32(0)
+                if "l1" in losses_on:
+                    l1, g = jax.value_and_grad(m.loss_1)(params, b, k1)
+                    upd, o = opt.update(g, o, params)
+                    params = optax.apply_updates(params, upd)
+                    total += l1
+                if "bpr" in losses_on:
+                    l2, g = jax.value_and_grad(m.bpr_reg_loss)(params, b)
+                    upd, o = opt.update(g, o, params)
+                    params = optax.apply_updates(params, upd)
+                    total += l2
+                if "gen" in losses_on:
+                    l3, g = jax.value_and_grad(m.gen_loss)(params, b, k3)
+                    upd, o1 = opt_gens[0].update(g, o1, params)
+                    params = optax.apply_updates(params, upd)
+                    upd, o2 = opt_gens[1].update(g, o2, params)
+                    params = optax.apply_updates(params, upd)
+                    upd, o3 = opt_gens[2].update(g, o3, params)
+                    params = optax.apply_updates(params, upd)
+                    total += l3
+                return (params, o, o1, o2, o3, rng), total
+
+            (params, o, o1, o2, o3, rng), losses = jax.lax.scan(
+                step, (params, o, o1, o2, o3, rng), (u_all, p_all, w_all))
+            return params, jnp.sum(losses)
+
+        opts = (opt.init(params),) + tuple(og.init(params) for og in opt_gens)
+        u_all, p_all, w_all = (users[:n_batches], pos[:n_batches],
+                               weights[:n_batches])
+        new_params, loss = jax.jit(epoch)(
+            model, params, opts, jax.random.PRNGKey(7),
+            u_all, p_all, w_all, history)
+        out = loss
     elif comp == "epoch":
         # the real trainer's whole-epoch jit, one call (the unit the
         # crashed runs dispatched)

@@ -126,16 +126,17 @@ runpy.run_path({str(REF / 'main.py')!r}, run_name='__main__')
 
 
 def run_ours(model: str, data_path: str, num_epoch: int, combo: dict,
-             timeout: int, cpu: bool) -> int:
+             timeout: int, cpu: bool, data_root: str | None = None) -> int:
     logdir = Path("/tmp/xfw_ours_logs")
     logdir.mkdir(exist_ok=True)
     force_cpu = ("import jax; jax.config.update('jax_platforms', 'cpu')\n"
                  if cpu else "")
+    root = data_root or str(REF / "Data")
     child = f"""
 {force_cpu}import sys
 sys.path.insert(0, {str(REPO)!r})
 sys.argv = ['run_combo.py', '--Model', {model!r}, '--data_path',
-            {data_path!r}, '--data_root', {str(REF / 'Data')!r},
+            {data_path!r}, '--data_root', {root!r},
             '--num_epoch', str({num_epoch}), '--log_dir', {str(logdir)!r},
             '--combo', {json.dumps(combo)!r}]
 import runpy
@@ -168,6 +169,10 @@ def main() -> None:
     ap.add_argument("--ref-only", action="store_true")
     ap.add_argument("--ours-only", action="store_true")
     ap.add_argument("--ours-cpu", action="store_true")
+    ap.add_argument("--ours-data-root", default=None,
+                    help="data_root for our side (e.g. the sandbox Data/ "
+                         "so generated aux files like user_graph_dict / "
+                         "hyperedges are byte-identical on both sides)")
     args = ap.parse_args()
 
     combo = json.loads(args.combo) if args.combo else first_combo(args.Model)
@@ -178,7 +183,7 @@ def main() -> None:
         print(f"ref side exit {rc}", flush=True)
     if not args.ref_only:
         rc = run_ours(args.Model, args.data_path, args.num_epoch, combo,
-                      args.timeout, args.ours_cpu)
+                      args.timeout, args.ours_cpu, args.ours_data_root)
         print(f"ours side exit {rc}", flush=True)
 
 

@@ -57,3 +57,17 @@ def test_subset_layout_matches_reference(tiny_dataset):
         assert len(set(drawn)) == n_valid  # a subset, no repeats
         # pads carry item 0 (reference pads with num_user then subtracts)
         assert (items[u, 1 + n_valid:] == 0).all()
+
+
+@pytest.mark.fast
+def test_resample_keeps_treedef_stable(tiny_dataset):
+    """The draw counter must be a dynamic leaf, not static aux: a python
+    int counter changes the model treedef on every resample, so the
+    jitted scoring program recompiles each evaluation (ADVICE r4)."""
+    import jax
+
+    m = _build(tiny_dataset)
+    td0 = jax.tree_util.tree_structure(m)
+    m.resample_eval()
+    m.resample_eval()
+    assert jax.tree_util.tree_structure(m) == td0
