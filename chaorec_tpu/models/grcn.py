@@ -29,7 +29,6 @@ import jax.numpy as jnp
 
 from chaorec_tpu.graphs.norm_adj import BipartiteGraph
 from chaorec_tpu.models.base import Batch, Params, RecModel
-from chaorec_tpu.ops.edge_softmax import segment_softmax
 from chaorec_tpu.ops.init import torch_linear_init, xavier_normal
 from chaorec_tpu.ops.losses import l2norm, masked_mean
 
@@ -51,6 +50,21 @@ class GRCN(RecModel):
         self.e_u = g.u_by_u  # (E,) directed user end
         self.e_i = g.i_by_u  # (E,) directed item end (0-based)
         self.n_nodes = num_user + num_item
+        # Fixed doubled-edge topology with per-step traced weights
+        # (attention alphas / gated confidences): EllPattern keeps every
+        # aggregation AND its VJP on gathers (~140 GB/s on v5e) instead
+        # of the unsorted scatter-adds (~25 GB/s) that segment_sum
+        # lowers to — the r4 speed gap on netfilx (0.60x) was exactly
+        # these scatters (parity_logs/gather_rates.txt).
+        import numpy as np
+
+        from chaorec_tpu.ops.ell import EllPattern
+
+        e_u = np.asarray(g.u_by_u)
+        e_i = np.asarray(g.i_by_u) + num_user
+        src = np.concatenate([e_u, e_i])
+        dst = np.concatenate([e_i, e_u])
+        self.pat = EllPattern.from_coo(dst, src, self.n_nodes, self.n_nodes)
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 6)
@@ -65,23 +79,24 @@ class GRCN(RecModel):
             p[f"{mod}_mlp_w"], p[f"{mod}_mlp_b"] = w, b
         return p
 
-    def _cgcn(self, params, mod, feat, keep):
-        """Returns (rep (N, dim_C), alpha (2E,)) on the dropped graph."""
+    def _cgcn(self, params, mod, feat, keep2):
+        """Returns (rep (N, dim_C), alpha (2E,)) on the dropped graph.
+
+        x rows are l2-normalized, so |<x_dst, x_src>| <= 1 and the
+        per-destination softmax needs no max-subtraction (shift
+        invariance): alpha = exp(inner)*keep / rowsum(exp(inner)*keep),
+        identical to PyG's softmax with -inf-masked dropped edges."""
         f = jax.nn.leaky_relu(
             feat @ params[f"{mod}_mlp_w"].T + params[f"{mod}_mlp_b"], 0.01
         )
         pref = l2norm(params[f"{mod}_preference"])
         f = l2norm(f)
         x = jnp.concatenate([pref, f], axis=0)
-        src = jnp.concatenate([self.e_u, self.e_i + self.num_user])
-        dst = jnp.concatenate([self.e_i + self.num_user, self.e_u])
-        keep2 = jnp.concatenate([keep, keep])
-        inner = jnp.sum(x[dst] * x[src], axis=1)
-        inner = jnp.where(keep2 > 0, inner, -jnp.inf)
-        alpha = segment_softmax(inner, dst, self.n_nodes)
-        alpha = jnp.where(keep2 > 0, alpha, 0.0)
-        out = jax.ops.segment_sum(alpha[:, None] * x[src], dst,
-                                  num_segments=self.n_nodes)
+        inner = jnp.sum(x[self.pat.rows] * x[self.pat.cols], axis=1)
+        e = jnp.exp(inner) * keep2
+        denom = self.pat.weighted_rowsum(e)
+        alpha = e / jnp.maximum(denom, 1e-16)[self.pat.rows]
+        out = self.pat.weighted_matvec(alpha, x)
         return x + jax.nn.leaky_relu(out, 0.01), alpha
 
     def forward(self, params: Params, rng=None):
@@ -93,8 +108,9 @@ class GRCN(RecModel):
         else:
             keep = jnp.ones((e,), jnp.float32)
 
-        v_rep, alpha_v = self._cgcn(params, "v", self.v_feat, keep)
-        t_rep, alpha_t = self._cgcn(params, "t", self.t_feat, keep)
+        keep2 = jnp.concatenate([keep, keep])
+        v_rep, alpha_v = self._cgcn(params, "v", self.v_feat, keep2)
+        t_rep, alpha_t = self._cgcn(params, "t", self.t_feat, keep2)
         weight = jnp.stack([alpha_v, alpha_t], axis=1)  # (2E, 2)
         conf = jnp.concatenate(
             [params["model_specific_conf"][self.e_u],
@@ -102,18 +118,13 @@ class GRCN(RecModel):
         )  # (2E, 2)
         w_edge = jnp.max(weight * conf, axis=1)
         w_edge = jax.nn.relu(w_edge)  # pruning
-        keep2 = jnp.concatenate([keep, keep])
         w_edge = w_edge * keep2
 
         # EGCN id branch: weighted sum aggregation over doubled edges
-        src = jnp.concatenate([self.e_u, self.e_i + self.num_user])
-        dst = jnp.concatenate([self.e_i + self.num_user, self.e_u])
         x = l2norm(params["id_embedding"])
 
         def conv(z):
-            return jax.ops.segment_sum(
-                w_edge[:, None] * z[src], dst, num_segments=self.n_nodes
-            )
+            return self.pat.weighted_matvec(w_edge, z)
 
         x1 = jax.nn.leaky_relu(conv(x), 0.01)
         x2 = jax.nn.leaky_relu(conv(x1), 0.01)

@@ -500,3 +500,182 @@ def ell_rows_matvec(vals: jnp.ndarray, idx: jnp.ndarray,
         "rk,rkd->rd", vals, jnp.take(x, idx, axis=0),
         preferred_element_type=jnp.float32,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-topology / traced-weights propagation (GAT-family: GRCN, MGAT).
+# ---------------------------------------------------------------------------
+
+def ell_pattern_from_coo(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    num_rows: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pack COO edge IDs (not weights) into ELL + sorted overflow.
+
+    Twin of :func:`ell_from_coo` for graphs whose WEIGHTS are traced
+    per-step values (GAT attention, learned edge gates): each padded
+    slot records which edge fills it, so a step can gather the current
+    weight vector into the layout (``w_pad[eid]``) instead of baking
+    weights at build time. Returns ``(idx, eid, ov_ptr, ov_col,
+    ov_eid)``; padding slots have ``eid == num_edges`` (the sentinel row
+    of the zero-padded weight vector) and ``idx == 0``.
+    """
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    e_total = rows.size
+    order = np.argsort(rows, kind="stable")
+    r_s, c_s, id_s = rows[order], cols[order], order
+    deg = np.bincount(r_s, minlength=num_rows)
+    k = auto_cap(deg)
+
+    starts = np.zeros(num_rows + 1, np.int64)
+    np.cumsum(deg, out=starts[1:])
+    rank = np.arange(e_total) - starts[r_s]
+
+    idx = np.zeros((num_rows, k), np.int32)
+    eid = np.full((num_rows, k), e_total, np.int32)  # sentinel = pad
+    in_ell = rank < k
+    idx[r_s[in_ell], rank[in_ell]] = c_s[in_ell]
+    eid[r_s[in_ell], rank[in_ell]] = id_s[in_ell]
+
+    ov = ~in_ell
+    ov_ptr = np.zeros(num_rows + 1, np.int64)
+    np.cumsum(np.bincount(r_s[ov], minlength=num_rows), out=ov_ptr[1:])
+    return (idx, eid, ov_ptr.astype(np.int32), c_s[ov].astype(np.int32),
+            id_s[ov].astype(np.int32))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class EllPattern:
+    """Fixed sparsity pattern whose edge weights are per-step traced
+    values — the GAT-family propagation layout.
+
+    ``weighted_matvec(w_edge, x)[r] = sum_{e: rows[e]==r} w_edge[e] *
+    x[cols[e]]`` and ``weighted_rowsum(w_edge)[r] = sum_{e: rows[e]==r}
+    w_edge[e]``; both lower to gathers + dense reductions in the forward
+    AND the backward (the x-cotangent is the transposed orientation's
+    gather-reduce; the w-cotangent is two edge-space row gathers) — no
+    scatter anywhere, which on v5e is the difference between ~140 GB/s
+    (random row gather) and ~25 GB/s (unsorted scatter-add), see
+    parity_logs/gather_rates.txt.
+    """
+
+    num_rows: int
+    num_cols: int
+    num_edges: int
+    # row orientation
+    idx: jnp.ndarray        # (R, K) col of each slot
+    eid: jnp.ndarray        # (R, K) edge id, num_edges = padding
+    ov_ptr: jnp.ndarray     # (R+1,)
+    ov_col: jnp.ndarray     # (O,)
+    ov_eid: jnp.ndarray     # (O,)
+    # column orientation (the x-VJP / A^T apply)
+    t_idx: jnp.ndarray
+    t_eid: jnp.ndarray
+    t_ov_ptr: jnp.ndarray
+    t_ov_col: jnp.ndarray
+    t_ov_eid: jnp.ndarray
+    # original endpoints, for the w-cotangent
+    rows: jnp.ndarray       # (E,)
+    cols: jnp.ndarray       # (E,)
+
+    def tree_flatten(self):
+        leaves = (self.idx, self.eid, self.ov_ptr, self.ov_col, self.ov_eid,
+                  self.t_idx, self.t_eid, self.t_ov_ptr, self.t_ov_col,
+                  self.t_ov_eid, self.rows, self.cols)
+        return leaves, (self.num_rows, self.num_cols, self.num_edges)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*aux, *leaves)
+
+    @classmethod
+    def from_coo(cls, rows, cols, num_rows: int, num_cols: int
+                 ) -> "EllPattern":
+        i, e, op, oc, oe = ell_pattern_from_coo(rows, cols, num_rows)
+        ti, te, top, toc, toe = ell_pattern_from_coo(cols, rows, num_cols)
+        return cls(
+            num_rows, num_cols, int(np.asarray(rows).size),
+            jnp.asarray(i), jnp.asarray(e), jnp.asarray(op),
+            jnp.asarray(oc), jnp.asarray(oe),
+            jnp.asarray(ti), jnp.asarray(te), jnp.asarray(top),
+            jnp.asarray(toc), jnp.asarray(toe),
+            jnp.asarray(np.asarray(rows, np.int32)),
+            jnp.asarray(np.asarray(cols, np.int32)),
+        )
+
+    def weighted_matvec(self, w_edge: jnp.ndarray, x: jnp.ndarray
+                        ) -> jnp.ndarray:
+        return _ellp_matvec(self, w_edge, x)
+
+    def weighted_rowsum(self, w_edge: jnp.ndarray) -> jnp.ndarray:
+        return _ellp_rowsum(self, w_edge)
+
+
+def _ellp_apply(idx, eid, ov_ptr, ov_col, ov_eid, w_pad, x):
+    w = jnp.take(w_pad, eid)                      # (R, K), pads read 0
+    out = jnp.einsum("rk,rkd->rd", w, jnp.take(x, idx, axis=0),
+                     preferred_element_type=jnp.float32)
+    if ov_col.shape[0]:
+        msgs = jnp.take(w_pad, ov_eid)[:, None] * jnp.take(x, ov_col, axis=0)
+        cs = jnp.cumsum(msgs.astype(jnp.float32), axis=0)
+        cs = jnp.concatenate([jnp.zeros((1, cs.shape[1]), cs.dtype), cs], 0)
+        out = out + cs[ov_ptr[1:]] - cs[ov_ptr[:-1]]
+    return out.astype(jnp.float32)
+
+
+def _pad_w(w_edge):
+    return jnp.concatenate([w_edge.astype(jnp.float32),
+                            jnp.zeros((1,), jnp.float32)])
+
+
+@jax.custom_vjp
+def _ellp_matvec(p: EllPattern, w_edge: jnp.ndarray, x: jnp.ndarray
+                 ) -> jnp.ndarray:
+    return _ellp_apply(p.idx, p.eid, p.ov_ptr, p.ov_col, p.ov_eid,
+                       _pad_w(w_edge), x)
+
+
+def _ellp_matvec_fwd(p, w_edge, x):
+    return _ellp_matvec(p, w_edge, x), (p, w_edge, x)
+
+
+def _ellp_matvec_bwd(res, g):
+    p, w_edge, x = res
+    dx = _ellp_apply(p.t_idx, p.t_eid, p.t_ov_ptr, p.t_ov_col, p.t_ov_eid,
+                     _pad_w(w_edge), g)
+    dw = jnp.sum(jnp.take(g, p.rows, axis=0) * jnp.take(x, p.cols, axis=0),
+                 axis=1).astype(w_edge.dtype)
+    return jax.tree.map(_zero_cot, p), dw, dx.astype(x.dtype)
+
+
+_ellp_matvec.defvjp(_ellp_matvec_fwd, _ellp_matvec_bwd)
+
+
+def _ellp_rowsum_primal(p, w_pad):
+    out = jnp.sum(jnp.take(w_pad, p.eid), axis=1)
+    if p.ov_col.shape[0]:
+        cs = jnp.cumsum(jnp.take(w_pad, p.ov_eid))
+        cs = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
+        out = out + cs[p.ov_ptr[1:]] - cs[p.ov_ptr[:-1]]
+    return out
+
+
+@jax.custom_vjp
+def _ellp_rowsum(p: EllPattern, w_edge: jnp.ndarray) -> jnp.ndarray:
+    return _ellp_rowsum_primal(p, _pad_w(w_edge))
+
+
+def _ellp_rowsum_fwd(p, w_edge):
+    return _ellp_rowsum(p, w_edge), (p, w_edge)
+
+
+def _ellp_rowsum_bwd(res, g):
+    p, w_edge = res
+    return (jax.tree.map(_zero_cot, p),
+            jnp.take(g, p.rows).astype(w_edge.dtype))
+
+
+_ellp_rowsum.defvjp(_ellp_rowsum_fwd, _ellp_rowsum_bwd)
