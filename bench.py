@@ -136,9 +136,11 @@ def find_data_root() -> str:
 def _run_epochs(trainer, model, cfg, n_timed=7):
     import jax
 
+    from chaorec_tpu.train.loop import apply_relaxed_precision
+
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
-    params = model.init_params(init_rng)
+    params = apply_relaxed_precision(model, model.init_params(init_rng), cfg)
     opt_state = trainer.init_opt_state(params)
 
     # Warm-up epoch: compile train scan + eval kernels.
@@ -218,6 +220,24 @@ def main() -> None:
         "metric": "freedom_sports_epoch_s",
         "value": round(freedom_s, 4), "unit": "s",
         "vs_baseline": round(5.0 / freedom_s, 2),
+    })
+    del trainer, model, f_params
+
+    # --- FREEDOM / sports, bf16 relaxed-precision mode --------------------
+    # Same workload with --relaxed_precision bf16 (tables + Adam moments
+    # stored bf16, fp32 step math): the documented ~2x HBM relaxation of
+    # the exact-semantics floor (PARITY.md), shipped as a user-choosable
+    # mode; quality delta vs fp32 is measured on the xfw oracle.
+    import dataclasses as _dc
+
+    cfg_bf16 = _dc.replace(cfg, relaxed_precision="bf16")
+    model = build_model(cfg_bf16, ds)
+    trainer = Trainer(model, ds, cfg_bf16)
+    freedom_bf16_s, f_params = _run_epochs(trainer, model, cfg_bf16)
+    emit({
+        "metric": "freedom_sports_bf16_epoch_s",
+        "value": round(freedom_bf16_s, 4), "unit": "s",
+        "vs_baseline": round(5.0 / freedom_bf16_s, 2),
     })
     del trainer, model, f_params
 

@@ -117,6 +117,13 @@ class Config:
     # Graph-propagation matmul numerics: "bfloat16" = 1-pass MXU with fp32
     # accumulation (TPU-standard training numerics), "float32" = exact.
     graph_compute_dtype: str = "bfloat16"
+    # Relaxed-precision mode for row-sparse trainable feature tables
+    # (FREEDOM-family (I, 4096) v_feat etc.): "bf16" stores the table AND
+    # its Adam moments in bfloat16 (per-step math stays fp32), halving
+    # the dominant (p, m, v) HBM sweep + feature-gather bytes. Default ""
+    # = exact fp32 reference semantics. Quality delta measured on the
+    # cross-framework oracle (parity_logs/xfw_report.txt).
+    relaxed_precision: str = ""
     mesh_shape: str = ""  # e.g. "dp=4,mp=2"; empty = single device
     checkpoint_dir: str = ""  # orbax checkpoints; empty = disabled
     checkpoint_every: int = 0  # epochs between checkpoints; 0 = disabled

@@ -63,8 +63,14 @@ def table_adam_update(
     """Backend dispatcher: on TPU the fused in-place Pallas kernel
     (ops/pallas_row_adam.py — one aliased sweep over (p, m, v)); elsewhere
     the XLA formulation below. Identical results (both pinned against
-    optax.adam in tests)."""
-    if jax.default_backend() == "tpu":
+    optax.adam in tests).
+
+    bf16 tables (--relaxed_precision bf16) take the XLA path on every
+    backend: the Pallas kernel's 8-row slice alignment assumes fp32
+    sublanes (bf16 tiles need 16), and XLA's sweep already halves the
+    (p, m, v) HBM bytes — which is the entire point of the mode. Math
+    runs in fp32 per step; only STORAGE is bf16."""
+    if jax.default_backend() == "tpu" and table.dtype == jnp.float32:
         from chaorec_tpu.ops.pallas_row_adam import (
             fused_row_adam,
             prepare_sorted_rows,
@@ -96,20 +102,27 @@ def row_adam_update(
     values gathered BEFORE the sweep. Gathers/scatters touch only B rows;
     the dense traffic is the unavoidable read+write of (p, m, v)."""
     m, v = state
-    g_rows = g_rows.astype(m.dtype)
-    c = count.astype(m.dtype)
+    store_dtype = table.dtype
+    g_rows = g_rows.astype(jnp.float32)
+    c = count.astype(jnp.float32)
     bc1 = 1.0 - b1 ** c
     bc2 = 1.0 - b2 ** c
 
-    # gather pre-sweep values of the touched rows (B x D, cheap)
-    m_rows = m[rows]
-    v_rows = v[rows]
-    p_rows = table[rows]
+    # gather pre-sweep values of the touched rows (B x D, cheap);
+    # per-step MATH is fp32 even for bf16-stored tables — only the
+    # dense (p, m, v) arrays round back to store_dtype.
+    m_rows = m[rows].astype(jnp.float32)
+    v_rows = v[rows].astype(jnp.float32)
+    p_rows = table[rows].astype(jnp.float32)
 
     # (A) dense sweep — zero-gradient Adam step for ALL rows
-    m = b1 * m
-    v = b2 * v
-    table = table - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+    m32 = b1 * m.astype(jnp.float32)
+    v32 = b2 * v.astype(jnp.float32)
+    table = (table.astype(jnp.float32)
+             - lr * (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
+             ).astype(store_dtype)
+    m = m32.astype(store_dtype)
+    v = v32.astype(store_dtype)
 
     # (B) fixup for the batch rows: exact Adam with their true gradients.
     # Duplicates are aggregated first (dense-grad semantics: both terms
@@ -129,7 +142,7 @@ def row_adam_update(
     m_new = b1 * m_rows[order] + (1.0 - b1) * g_sum
     v_new = b2 * v_rows[order] + (1.0 - b2) * g_sum ** 2
     p_new = p_rows[order] - lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
-    m = m.at[r_sorted].set(m_new)
-    v = v.at[r_sorted].set(v_new)
-    table = table.at[r_sorted].set(p_new)
+    m = m.at[r_sorted].set(m_new.astype(store_dtype))
+    v = v.at[r_sorted].set(v_new.astype(store_dtype))
+    table = table.at[r_sorted].set(p_new.astype(store_dtype))
     return table, TableOptState(m, v)

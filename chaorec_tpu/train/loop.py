@@ -118,6 +118,20 @@ def _set_injected_lr(opt_state, lr: float):
     return jax.tree_util.tree_map_with_path(fix, opt_state)
 
 
+def apply_relaxed_precision(model, params, cfg):
+    """--relaxed_precision bf16: bf16 STORAGE for the row-sparse feature
+    tables + their Adam moments (init_opt_state's zeros_like inherits
+    the dtype); per-step math stays fp32 (ops/indexed_adam.py). ~2x less
+    HBM traffic on the dominant (p, m, v) table sweep; the quality delta
+    is measured on the xfw oracle, not assumed."""
+    if getattr(cfg, "relaxed_precision", "") == "bf16" and model.table_params:
+        for n in model.table_params:
+            params[n] = params[n].astype(jnp.bfloat16)
+        logging.info("relaxed_precision=bf16: tables %s stored bf16",
+                     list(model.table_params))
+    return params
+
+
 def _epoch_lr_key(model, cfg) -> float:
     """The learning rate enters the compiled epoch as a constant ONLY
     for row-sparse-table models (the fused row-Adam takes it as a python
@@ -536,7 +550,8 @@ class Trainer:
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed)
         rng, init_rng = jax.random.split(rng)
-        params = self.model.init_params(init_rng)
+        params = apply_relaxed_precision(
+            self.model, self.model.init_params(init_rng), cfg)
         if cfg.mesh_shape:
             # Mesh training (--mesh_shape "dp=4,mp=2"): row-shard the 2-D
             # parameter tables over "mp" and let XLA propagate shardings

@@ -73,3 +73,29 @@ def test_zero_rows_pure_decay():
     assert not np.allclose(np.asarray(t2[:2]), np.asarray(t1[:2]))
     # untouched rows never move off their init
     np.testing.assert_array_equal(np.asarray(t2[2:]), np.asarray(table[2:]))
+
+
+def test_bf16_storage_tracks_fp32_trajectory():
+    """--relaxed_precision bf16: tables/moments stored bf16, math fp32.
+
+    The bf16 run must (a) keep bf16 dtypes end to end and (b) track the
+    fp32 trajectory within bf16 rounding (~0.8% relative) over several
+    steps — storage rounding only, no compounding math error."""
+    import jax.numpy as jnp
+
+    rs = np.random.default_rng(7)
+    t32 = jnp.asarray(rs.standard_normal((64, 16)).astype(np.float32))
+    t16 = t32.astype(jnp.bfloat16)
+    s32, s16 = init_table_state(t32), init_table_state(t16)
+    assert s16.m.dtype == jnp.bfloat16
+    for step in range(1, 6):
+        rows = jnp.asarray(rs.integers(0, 64, 32), np.int32)
+        g = jnp.asarray(rs.standard_normal((32, 16)).astype(np.float32))
+        t32, s32 = row_adam_update(t32, s32, rows, g,
+                                   jnp.asarray(step, jnp.int32), 1e-2)
+        t16, s16 = row_adam_update(t16, s16, rows, g,
+                                   jnp.asarray(step, jnp.int32), 1e-2)
+    assert t16.dtype == jnp.bfloat16 and s16.v.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(t16, np.float32), np.asarray(t32),
+        rtol=0, atol=0.01 * float(np.abs(np.asarray(t32)).max()))
