@@ -158,16 +158,51 @@ def main() -> None:
                     total += l3
                 return (params, o, o1, o2, o3, rng), total
 
-            (params, o, o1, o2, o3, rng), losses = jax.lax.scan(
+            carry, losses = jax.lax.scan(
                 step, (params, o, o1, o2, o3, rng), (u_all, p_all, w_all))
-            return params, jnp.sum(losses)
+            return carry, jnp.sum(losses)
 
         opts = (opt.init(params),) + tuple(og.init(params) for og in opt_gens)
-        u_all, p_all, w_all = (users[:n_batches], pos[:n_batches],
-                               weights[:n_batches])
-        new_params, loss = jax.jit(epoch)(
-            model, params, opts, jax.random.PRNGKey(7),
-            u_all, p_all, w_all, history)
+        off = int(os.environ.get("PROBE_OFFSET", "0"))
+        u_all, p_all, w_all = (users[off:off + n_batches],
+                               pos[off:off + n_batches],
+                               weights[off:off + n_batches])
+        # PROBE_CHUNK=C: dispatch the epoch as ceil(N/C) sequential
+        # sub-scan programs (carry stays on device, no host sync between
+        # chunks) — the workaround under test for the large-epoch worker
+        # crash (per-program execution budget hypothesis).
+        chunk = int(os.environ.get("PROBE_CHUNK", "0")) or n_batches
+        print(f"scan window: [{off}, {off + u_all.shape[0]}) chunk={chunk}",
+              flush=True)
+        import time
+
+        jf = jax.jit(epoch)
+        rng7 = jax.random.PRNGKey(7)
+
+        def run_once(rng_key):
+            carry = (params, *opts, rng_key)
+            total = jnp.float32(0)
+            for s in range(0, n_batches, chunk):
+                e = min(s + chunk, n_batches)
+                carry, loss = jf(model, carry[0], tuple(carry[1:5]),
+                                 carry[5], u_all[s:e], p_all[s:e],
+                                 w_all[s:e], history)
+                total = total + loss
+            return carry[0], total
+
+        t0 = time.perf_counter()
+        new_params, loss = run_once(rng7)
+        l0 = float(loss)  # real fetch (sync)
+        t1 = time.perf_counter()
+        print(f"call1 (compile+exec+fetch): {t1 - t0:.1f}s loss={l0:.3f}",
+              flush=True)
+        if os.environ.get("PROBE_TIME2"):
+            t2 = time.perf_counter()
+            _, loss = run_once(jax.random.PRNGKey(9))
+            l1 = float(loss)
+            t3 = time.perf_counter()
+            print(f"call2 (exec+fetch): {t3 - t2:.1f}s loss={l1:.3f}",
+                  flush=True)
         out = loss
     elif comp == "epoch":
         # the real trainer's whole-epoch jit, one call (the unit the

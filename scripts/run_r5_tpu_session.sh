@@ -10,10 +10,12 @@ mkdir -p "$DONE"
 step_done() { [ -f "$DONE/$1" ]; }
 mark_done() { echo "${2:-ok} $(date +%F_%H:%M:%S)" > "$DONE/$1"; }
 
-# wait for the crash bisect (if running)
-if [ -f /tmp/crashbisect.pid ]; then
-  while kill -0 "$(cat /tmp/crashbisect.pid)" 2>/dev/null; do sleep 30; done
-fi
+# wait for the crash bisect phases (if running)
+for pf in /tmp/crashbisect.pid /tmp/crashbisect2.pid; do
+  if [ -f "$pf" ]; then
+    while kill -0 "$(cat "$pf")" 2>/dev/null; do sleep 30; done
+  fi
+done
 
 # ---- 1. Pallas kernel re-audit (VERDICT weak #2: false-OK trap)
 if ! step_done r5_kernel_reaudit; then
