@@ -62,7 +62,16 @@ class FREEDOM(RecModel):
                 axis=1,
             ),
         )
-        self.masked_r = graph.dense_r
+        # Reference quirk (Model/FREEDOM.py:73-83,145-146): with
+        # dropout <= 0 the reference forward uses norm_adj, whose degrees
+        # come from bincount over the ALREADY DOUBLED edge list — exactly
+        # 0.5 * the standard sym-norm (same quirk as SLMRec). The
+        # dropout > 0 path (the shipped grid) rebuilds per epoch via
+        # _normalize_adj_m (row/col sums, UNHALVED), which masked_r
+        # matches after the first pre_epoch.
+        self.masked_r = (graph.dense_r
+                         if dropout > 0.0 or graph.dense_r is None
+                         else 0.5 * graph.dense_r)
         self._edge_u = np.asarray(graph.u_by_u)
         self._edge_i = np.asarray(graph.i_by_u)
         self._edge_w = np.asarray(graph.w_by_u, dtype=np.float64)
@@ -111,7 +120,8 @@ class FREEDOM(RecModel):
 
     def pre_epoch(self, params, rng, epoch: int) -> None:
         if self.dropout <= 0.0:
-            self.masked_r = self.graph.dense_r
+            # masked_r was set to the HALVED operator at init (reference
+            # dropout<=0 quirk, see __init__) and never changes.
             return
         E = self._edge_u.shape[0]
         keep_len = int(E * (1.0 - self.dropout))

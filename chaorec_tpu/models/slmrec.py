@@ -84,10 +84,17 @@ class SLMRec(RecModel):
         return p
 
     def _tower(self, xu, xi):
+        # Reference quirk (Model/SLMRec.py:80-90): normalize_edge_index
+        # computes deg = bincount(cat([row, col])) over the ALREADY
+        # DOUBLED edge list, so every node's degree is 2x its true value
+        # and the operator is exactly 0.5 * D^-1/2 A D^-1/2. The operator
+        # is linear, so halving each propagate output reproduces it on
+        # the shared standard-normalized graph.
         acc_u, acc_i = xu, xi
         cu, ci = xu, xi
         for _ in range(self.n_layers):
             cu, ci = self.graph.propagate(cu, ci)
+            cu, ci = 0.5 * cu, 0.5 * ci
             acc_u = acc_u + cu
             acc_i = acc_i + ci
         s = 1.0 / (self.n_layers + 1)
