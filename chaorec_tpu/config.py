@@ -124,6 +124,14 @@ class Config:
     # = exact fp32 reference semantics. Quality delta measured on the
     # cross-framework oracle (parity_logs/xfw_report.txt).
     relaxed_precision: str = ""
+    # Max batches per dispatched epoch program. 0 = whole epoch in ONE
+    # jitted scan (default). The TPU worker kills single programs whose
+    # execution runs past its budget (Grade/sports E=158k and
+    # AdaGCL/netfilx E=259k crash at full length while 78-batch
+    # prefixes of the identical step program pass —
+    # parity_logs/grade_crash_probe5.txt); heavy multi-generator
+    # trainers auto-chunk at >=120k edges unless this overrides.
+    max_dispatch_batches: int = 0
     mesh_shape: str = ""  # e.g. "dp=4,mp=2"; empty = single device
     checkpoint_dir: str = ""  # orbax checkpoints; empty = disabled
     checkpoint_every: int = 0  # epochs between checkpoints; 0 = disabled

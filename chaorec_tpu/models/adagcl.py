@@ -353,13 +353,10 @@ class AdaGCLTrainer:
             generator_labels(model, "g2_"),
         )
         from chaorec_tpu.data.sampling import make_epoch_batches, sample_negatives
+        from chaorec_tpu.train.loop import dispatch_chunked
 
-        def epoch(model, params, opts, rng, edges, history):
+        def chunk_fn(model, params, opts, rng, users, pos, weights, history):
             o, o1, o2 = opts
-            rng, shuffle_rng = jax.random.split(rng)
-            users, pos, weights, _ = make_epoch_batches(
-                shuffle_rng, edges, cfg.batch_size
-            )
 
             def step(carry, xs):
                 params, o, o1, o2, rng = carry
@@ -378,16 +375,25 @@ class AdaGCLTrainer:
             )
             return params, (o, o1, o2), rng, jnp.sum(losses)
 
-        jitted = jax.jit(epoch, donate_argnums=(1, 2))
+        jit_chunk = jax.jit(chunk_fn, donate_argnums=(1, 2))
+        jit_shuffle = jax.jit(make_epoch_batches, static_argnums=(2,))
+        # Per-program execution budget (see grade.py GradeTrainer and
+        # train/loop.py dispatch_chunked): whole-epoch programs at
+        # E>=120k run past the worker's limit and kill it.
+        chunk = cfg.max_dispatch_batches or (
+            64 if dataset.train_edges.shape[0] >= 120_000 else 0)
         self._opts = None
 
         def train_epoch(params, opt_state, rng, epoch_idx):
             if self._opts is None:
                 self._opts = (opt.init(params), opt_g1.init(params),
                               opt_g2.init(params))
-            params, self._opts, rng, loss = jitted(
-                base.model, params, self._opts, rng, base.edges, base.history
-            )
+            rng, k_shuf = jax.random.split(rng)
+            users, pos, weights, _ = jit_shuffle(k_shuf, base.edges,
+                                                 cfg.batch_size)
+            params, self._opts, rng, loss = dispatch_chunked(
+                jit_chunk, base.model, params, self._opts, rng,
+                (users, pos, weights), base.history, chunk)
             return params, opt_state, rng, loss
 
         base.train_epoch = train_epoch

@@ -308,13 +308,10 @@ class GradeTrainer:
             for i in (1, 2, 3)
         ]
         from chaorec_tpu.data.sampling import make_epoch_batches, sample_negatives
+        from chaorec_tpu.train.loop import dispatch_chunked
 
-        def epoch(model, params, opts, rng, edges, history):
+        def chunk_fn(model, params, opts, rng, users, pos, weights, history):
             o, o1, o2, o3 = opts
-            rng, shuffle_rng = jax.random.split(rng)
-            users, pos, weights, _ = make_epoch_batches(
-                shuffle_rng, edges, cfg.batch_size
-            )
 
             def step(carry, xs):
                 params, o, o1, o2, o3, rng = carry
@@ -333,7 +330,15 @@ class GradeTrainer:
             )
             return params, (o, o1, o2, o3), rng, jnp.sum(losses)
 
-        jitted = jax.jit(epoch, donate_argnums=(1, 2))
+        jit_chunk = jax.jit(chunk_fn, donate_argnums=(1, 2))
+        jit_shuffle = jax.jit(make_epoch_batches, static_argnums=(2,))
+        # Per-program execution budget: a whole-epoch Grade scan at
+        # E>=120k runs past the TPU worker's limit and kills the worker
+        # (parity_logs/grade_crash_probe5.txt: scan155 crashes, scan78
+        # passes, identical step program). Chunked dispatch keeps every
+        # program under the budget; carry stays on device between calls.
+        chunk = cfg.max_dispatch_batches or (
+            64 if dataset.train_edges.shape[0] >= 120_000 else 0)
         self._opts = None
 
         def train_epoch(params, opt_state, rng, epoch_idx):
@@ -341,9 +346,12 @@ class GradeTrainer:
                 self._opts = (opt.init(params),) + tuple(
                     og.init(params) for og in opt_gens
                 )
-            params, self._opts, rng, loss = jitted(
-                base.model, params, self._opts, rng, base.edges, base.history
-            )
+            rng, k_shuf = jax.random.split(rng)
+            users, pos, weights, _ = jit_shuffle(k_shuf, base.edges,
+                                                 cfg.batch_size)
+            params, self._opts, rng, loss = dispatch_chunked(
+                jit_chunk, base.model, params, self._opts, rng,
+                (users, pos, weights), base.history, chunk)
             return params, opt_state, rng, loss
 
         base.train_epoch = train_epoch

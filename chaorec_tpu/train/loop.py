@@ -118,6 +118,35 @@ def _set_injected_lr(opt_state, lr: float):
     return jax.tree_util.tree_map_with_path(fix, opt_state)
 
 
+def dispatch_chunked(jit_chunk, model, params, opts, rng, batches, history,
+                     max_batches: int):
+    """Dispatch one epoch as ceil(N / max_batches) sequential sub-scan
+    programs (carry stays on device; losses summed on device).
+
+    Why this exists: the TPU worker enforces a per-program execution
+    budget — Grade/sports (155 batches) and AdaGCL/netfilx (254) crash
+    the worker at full epoch length while 78-batch prefixes of the
+    IDENTICAL step program pass (parity_logs/grade_crash_probe5.txt).
+    Chunking bounds each program's runtime at the cost of one tunnel
+    round trip (~35 ms) per extra dispatch and at most one extra
+    compile (the remainder chunk's shape). ``max_batches`` <= 0 keeps
+    the whole epoch in one program; batch semantics are bit-identical
+    either way (same scan, same rng threading, sliced inputs)."""
+    users, pos, weights = batches
+    n = users.shape[0]
+    c = max_batches if 0 < max_batches < n else n
+    total = None
+    s = 0
+    while s < n:
+        e = min(s + c, n)
+        params, opts, rng, loss = jit_chunk(
+            model, params, opts, rng, users[s:e], pos[s:e], weights[s:e],
+            history)
+        total = loss if total is None else total + loss
+        s = e
+    return params, opts, rng, total
+
+
 def apply_relaxed_precision(model, params, cfg):
     """--relaxed_precision bf16: bf16 STORAGE for the row-sparse feature
     tables + their Adam moments (init_opt_state's zeros_like inherits
