@@ -97,3 +97,43 @@ if ! step_done r5_mmssl_beauty; then
   [ $rc -eq 0 ] && mark_done r5_mmssl_beauty
 fi
 echo "=== r5 TPU session complete $(date +%H:%M:%S)"
+
+# ---- 6. FKAN_GCF clothing profile (straggler: 1.18x, no floor analysis)
+if ! step_done r5_fkan_profile; then
+  echo "=== FKAN profile start $(date +%H:%M:%S)"
+  timeout 2400 python scripts/profile_model.py --Model FKAN_GCF \
+    --data_path clothing --data_root /root/reference/Data \
+    > parity_logs/FKAN_GCF_clothing.profile_r5.txt 2>&1
+  rc=$?
+  echo "=== FKAN profile exit $rc $(date +%H:%M:%S)"
+  [ -f parity_logs/FKAN_GCF_clothing.profile_r5.txt ] && mark_done r5_fkan_profile "rc=$rc"
+fi
+
+# ---- 7. The two crash-blocked quality rows, now on chunked dispatch
+# (Grade/sports vs ref 0.06959; AdaGCL/netfilx vs ref 0.21549).
+if ! step_done r5_grade_sports; then
+  echo "=== Grade sports quality start $(date +%H:%M:%S)"
+  timeout 10800 python scripts/run_combo.py --Model Grade \
+    --data_path sports --data_root /root/reference/Data \
+    --log_dir parity_logs --num_epoch 1000 \
+    --combo '{"n_layers": 5, "learning_rate": 0.001, "reg_weight": 0.1, "ssl_alpha": 0.2, "ssl_temp": 0.3, "ssl_temp2": 0.3, "noise_alpha": 0.2}' \
+    > parity_logs/Grade_sports.r5.stdout 2>&1
+  rc=$?
+  [ -f parity_logs/Grade_sports.log ] && \
+    cp parity_logs/Grade_sports.log parity_logs/Grade_sports.r5.log
+  echo "=== Grade sports exit $rc $(date +%H:%M:%S)"
+  [ $rc -eq 0 ] && mark_done r5_grade_sports
+fi
+if ! step_done r5_adagcl_netfilx; then
+  echo "=== AdaGCL netfilx quality start $(date +%H:%M:%S)"
+  timeout 10800 python scripts/run_combo.py --Model AdaGCL \
+    --data_path netfilx --data_root /root/reference/Data \
+    --log_dir parity_logs --num_epoch 1000 \
+    --combo '{"n_layers": 2, "learning_rate": 0.001, "reg_weight": 0.1, "ssl_alpha": 0.2, "ssl_temp": 0.5}' \
+    > parity_logs/AdaGCL_netfilx.r5.stdout 2>&1
+  rc=$?
+  [ -f parity_logs/AdaGCL_netfilx.log ] && \
+    cp parity_logs/AdaGCL_netfilx.log parity_logs/AdaGCL_netfilx.r5.log
+  echo "=== AdaGCL netfilx exit $rc $(date +%H:%M:%S)"
+  [ $rc -eq 0 ] && mark_done r5_adagcl_netfilx
+fi
