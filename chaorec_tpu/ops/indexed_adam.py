@@ -69,8 +69,15 @@ def table_adam_update(
     backend: the Pallas kernel's 8-row slice alignment assumes fp32
     sublanes (bf16 tiles need 16), and XLA's sweep already halves the
     (p, m, v) HBM bytes — which is the entire point of the mode. Math
-    runs in fp32 per step; only STORAGE is bf16."""
-    if jax.default_backend() == "tpu" and table.dtype == jnp.float32:
+    runs in fp32 per step; only STORAGE is bf16.
+
+    D must be a multiple of 128 for the Pallas kernel (Mosaic lane
+    tiling: the (8, D) gradient-group slice must align to 128 lanes —
+    the r5 re-audit at D=64 produced a Mosaic compile error, not wrong
+    numbers). Production feature tables are 4096/384-wide; narrow
+    tables route to the XLA path."""
+    if (jax.default_backend() == "tpu" and table.dtype == jnp.float32
+            and table.shape[1] % 128 == 0):
         from chaorec_tpu.ops.pallas_row_adam import (
             fused_row_adam,
             prepare_sorted_rows,

@@ -150,7 +150,10 @@ def audit_row_adam():
     from chaorec_tpu.ops.pallas_row_adam import (fused_row_adam,
                                                  prepare_sorted_rows)
 
-    n, d, b = 12351, 64, 1024
+    # production shape class: FREEDOM t_feat is (I, 384); the kernel
+    # requires D % 128 == 0 (Mosaic lane tiling — narrower tables route
+    # to the XLA path, see ops/indexed_adam.table_adam_update)
+    n, d, b = 12351, 384, 1024
     ks = jax.random.split(jax.random.PRNGKey(2), 5)
     p = jax.random.normal(ks[0], (n, d), jnp.float32)
     m = jax.random.normal(ks[1], (n, d), jnp.float32) * 0.01
@@ -202,8 +205,8 @@ def audit_scan():
     ok = e < 5e-2
     say(f"scan cumsum    | err={e:.2e} (fp32 prefix class) "
         f"| {'OK' if ok else 'FAIL'}")
-    t_p = delta_ms(jax.jit(lambda x: chunked_cumsum(x)), x)
-    t_x = delta_ms(jax.jit(lambda x: jnp.cumsum(x, axis=0)), x)
+    t_p = delta_ms(jax.jit(lambda x: chunked_cumsum(x)), x, iters=30)
+    t_x = delta_ms(jax.jit(lambda x: jnp.cumsum(x, axis=0)), x, iters=30)
     say(f"scan time      | pallas={t_p:.3f} ms xla={t_x:.3f} ms "
         f"({t_x / max(t_p, 1e-9):.2f}x)")
     return ok
