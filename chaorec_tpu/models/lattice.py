@@ -31,6 +31,18 @@ from chaorec_tpu.ops.init import torch_linear_init, xavier_uniform
 from chaorec_tpu.ops.losses import bpr_loss, emb_l2_reg, l2norm
 
 
+def _chunked_gram(a: jnp.ndarray, chunk: int = 4096) -> jnp.ndarray:
+    """``(a @ a.T)`` in a's dtype, built in row chunks so the fp32
+    accumulation transient is (chunk, N) instead of (N, N) — an (U, U)
+    fp32 intermediate would be 8.6 GB on microlens."""
+    n = a.shape[0]
+    f = jax.jit(lambda rows, full: jnp.dot(
+        rows, full.T, preferred_element_type=jnp.float32
+    ).astype(full.dtype))
+    out = [f(a[s:min(s + chunk, n)], a) for s in range(0, n, chunk)]
+    return jnp.concatenate(out, axis=0)
+
+
 def dense_knn_sim(feats: jnp.ndarray, topk: int) -> jnp.ndarray:
     """build_sim + build_knn_neighbourhood (Model/LATTICE.py:44-61):
     cosine similarity with all but each row's top-k zeroed (values kept)."""
@@ -106,6 +118,28 @@ class LATTICE(RecModel):
                 *knn_topk_ell(v_feat, ii_topk))
             self.text_original = topk_sym_norm_ell(
                 *knn_topk_ell(t_feat, ii_topk))
+
+        # ---- Row-mode block operators (FREEDOM's _rows pattern): R is
+        # FIXED for LATTICE, so R^T, R R^T and R^T R precompute ONCE at
+        # init and every frozen-graph training step touches only the
+        # batch's rows — final_u[b] = (E_u[b] + (R E_i)[b] +
+        # (R R^T E_u)[b])/3 — instead of streaming the full (U, I)
+        # operator n_layers x fwd+bwd per batch (the measured ~20 ms/
+        # batch dense-HBM floor of the full-propagation step on
+        # microlens). Batch 0 (the graph rebuild, gradients into the trs
+        # projections) keeps the full forward.
+        self._rt = None
+        self._rrt = None
+        self._rtr = None
+        r = graph.dense_r
+        row_bytes = ((num_user * num_user + num_item * num_item) * 2
+                     if r is not None else 1 << 62)
+        if (graph.use_dense and r is not None and n_layers in (1, 2)
+                and mm_layers == 1 and row_bytes <= int(6e9)):
+            self._rt = jnp.transpose(r)
+            if n_layers == 2:
+                self._rrt = _chunked_gram(r)          # R R^T (U, U)
+                self._rtr = _chunked_gram(self._rt)   # R^T R (I, I)
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 4)
@@ -200,6 +234,33 @@ class LATTICE(RecModel):
         s = 1.0 / (self.n_layers + 1)
         return acc_u * s, acc_i * s + l2norm(h)
 
+    def _rows(self, params: Params, item_adj, users, items):
+        """Batch rows of the final embeddings via the init-time block
+        operators — exact same math as _forward + gather (n_layers<=2,
+        mm_layers==1, frozen item_adj)."""
+        xu, xi = params["user_embedding"], params["item_embedding"]
+        dt = self.graph.dense_r.dtype
+        xu_c, xi_c = xu.astype(dt), xi.astype(dt)
+        u = xu[users] + jnp.dot(self.graph.dense_r[users], xi_c,
+                                preferred_element_type=jnp.float32)
+        i = xi[items] + jnp.dot(self._rt[items], xu_c,
+                                preferred_element_type=jnp.float32)
+        if self.n_layers == 2:
+            u = u + jnp.dot(self._rrt[users], xu_c,
+                            preferred_element_type=jnp.float32)
+            i = i + jnp.dot(self._rtr[items], xi_c,
+                            preferred_element_type=jnp.float32)
+        s = 1.0 / (self.n_layers + 1)
+        if self.dense_items:
+            h_rows = jnp.dot(item_adj[items], xi.astype(item_adj.dtype),
+                             preferred_element_type=jnp.float32)
+        else:
+            from chaorec_tpu.graphs.knn import gather_weighted_sum
+
+            vals, idx = item_adj
+            h_rows = gather_weighted_sum(xi, vals[items], idx[items])
+        return u * s, i * s + l2norm(h_rows)
+
     def loss_stateful(self, params: Params, state, batch: Batch, rng: jax.Array):
         # The WHOLE loss sits under the rebuild cond, not just the graph
         # choice: in the frozen branch item_adj is a stop_gradient
@@ -217,10 +278,24 @@ class LATTICE(RecModel):
             total = total + emb_l2_reg(self.reg_weight, (u, pos, neg), w)
             return total, jax.lax.stop_gradient(item_adj)
 
+        def _loss_rows(item_adj):
+            # frozen-graph fast path: batch rows only (see _rows)
+            b = batch.pos_items.shape[0]
+            items = jnp.concatenate([batch.pos_items, batch.neg_items])
+            u, both = self._rows(params, item_adj, batch.users, items)
+            pos, neg = both[:b], both[b:]
+            w = batch.weights
+            total = bpr_loss(jnp.sum(u * pos, 1), jnp.sum(u * neg, 1), w,
+                             eps=1e-5)
+            total = total + emb_l2_reg(self.reg_weight, (u, pos, neg), w)
+            return total, item_adj
+
+        frozen = (_loss_rows if self._rt is not None else
+                  lambda adj: _loss_with(adj))
         return jax.lax.cond(
             batch.index == 0,
             lambda: _loss_with(self._build_item_adj(params)),
-            lambda: _loss_with(jax.lax.stop_gradient(state)),
+            lambda: frozen(jax.lax.stop_gradient(state)),
         )
 
     def embeddings_stateful(self, params: Params, state):
