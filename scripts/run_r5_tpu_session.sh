@@ -137,3 +137,59 @@ if ! step_done r5_adagcl_netfilx; then
   echo "=== AdaGCL netfilx exit $rc $(date +%H:%M:%S)"
   [ $rc -eq 0 ] && mark_done r5_adagcl_netfilx
 fi
+
+# ---- 8. kernel re-audit take 2 (row_adam at production D=384; scan
+# timing with more iters) — marker was cleared after the D-guard fix
+if ! step_done r5_kernel_reaudit; then
+  echo "=== kernel reaudit(2) start $(date +%H:%M:%S)"
+  timeout 2400 python scripts/reaudit_kernels.py
+  rc=$?
+  echo "=== kernel reaudit(2) exit $rc $(date +%H:%M:%S)"
+  [ -f parity_logs/kernel_reaudit_r5.txt ] && mark_done r5_kernel_reaudit "rc=$rc"
+fi
+
+# ---- 9. GRCN netfilx profile (still 0.71x post-EllPattern: find the
+# dominant op — suspects: (R,K,D) gather materialization, overflow
+# cumsum under netfilx degree skew, backward edge gathers)
+if ! step_done r5_grcn_profile; then
+  echo "=== GRCN netfilx profile start $(date +%H:%M:%S)"
+  timeout 2400 python scripts/profile_model.py --Model GRCN \
+    --data_path netfilx --data_root /root/reference/Data \
+    > parity_logs/GRCN_netfilx.profile_r5.txt 2>&1
+  rc=$?
+  echo "=== GRCN netfilx profile exit $rc $(date +%H:%M:%S)"
+  [ -f parity_logs/GRCN_netfilx.profile_r5.txt ] && mark_done r5_grcn_profile "rc=$rc"
+fi
+
+# ---- 10. MHRec re-times (step measured 49.5 ms vs r4's 71.4 — update
+# the speed rows at HEAD)
+if ! step_done r5_mhrec_phasec; then
+  echo "=== MHRec phaseC re-time start $(date +%H:%M:%S)"
+  CHAOREC_MHREC_PHASE_C_ONLY=1 timeout 3000 python \
+    scripts/run_speed_single.py --Model MHRec --data_path beauty \
+    --num_epoch 8 --data_root /root/reference/Data --log_dir /tmp \
+    > parity_logs/MHRec_beauty.phaseC.speed.stdout 2>&1
+  rc=$?
+  echo "=== MHRec phaseC exit $rc $(date +%H:%M:%S)"
+  [ $rc -eq 0 ] && mark_done r5_mhrec_phasec
+fi
+if ! step_done r5_mhrec_full; then
+  echo "=== MHRec full re-time start $(date +%H:%M:%S)"
+  timeout 3600 python scripts/run_speed_single.py --Model MHRec \
+    --data_path beauty --num_epoch 8 --data_root /root/reference/Data \
+    --log_dir /tmp > parity_logs/MHRec_beauty.speed.stdout 2>&1
+  rc=$?
+  echo "=== MHRec full exit $rc $(date +%H:%M:%S)"
+  [ $rc -eq 0 ] && mark_done r5_mhrec_full
+fi
+
+# ---- 11. LATTICE microlens re-time (row-mode block operators)
+if ! step_done r5_lattice_retime; then
+  echo "=== LATTICE microlens re-time start $(date +%H:%M:%S)"
+  timeout 3000 python scripts/run_speed_single.py --Model LATTICE \
+    --data_path microlens --num_epoch 8 --data_root /root/reference/Data \
+    --log_dir /tmp > parity_logs/LATTICE_microlens.speed.stdout 2>&1
+  rc=$?
+  echo "=== LATTICE re-time exit $rc $(date +%H:%M:%S)"
+  [ $rc -eq 0 ] && mark_done r5_lattice_retime
+fi
