@@ -185,14 +185,20 @@ class MHRec(RecModel):
         """Per-epoch sorted-segment layout of a rebuilt incidence: one
         argsort of the (He*k,) flattened node slots buys scatter-free
         node aggregation (fwd AND bwd) for every step of the epoch.
-        Segment num_nodes collects the padding sentinels."""
+        Segment num_nodes collects the padding sentinels.
+
+        COLUMN-MAJOR flatten (slot-major: all slot-0 nodes, then all
+        slot-1 nodes, ...): every per-slot quantity in the attention
+        step is then a plain 1-D (M,) array or a fat (He, D) slice —
+        an (He, k) array with k=2 lanes would be tile-padded to 128
+        lanes on TPU, inflating every elementwise pass ~60x."""
         from chaorec_tpu.ops.ell import build_segment_transpose
 
-        flat = h_nodes.reshape(-1).astype(jnp.int32)
+        flat = h_nodes.T.reshape(-1).astype(jnp.int32)
         perm, ptr = build_segment_transpose(flat, self.num_nodes + 1)
         # per-rebuild constant: hyperedge id of each segment-ordered slot
-        # (row-major flatten => slot m belongs to edge m // k)
-        edge_perm = (perm // h_nodes.shape[1]).astype(jnp.int32)
+        # (column-major flatten => slot m belongs to edge m % He)
+        edge_perm = (perm % h_nodes.shape[0]).astype(jnp.int32)
         return flat, perm, ptr, edge_perm
 
     def _hyper_attn(self, a, h_nodes, layout, x):
@@ -212,22 +218,22 @@ class MHRec(RecModel):
         x_pad = jnp.concatenate(
             [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
         d = x.shape[1]
-        xi = seg_gather(x_pad, flat, perm, ptr)  # (M, D) flat slot order
-        # (He, k*D) packed view of the slot rows (free: row-major slots
-        # are contiguous per edge). All per-slot arithmetic below is
-        # unrolled over k as fat 2-D slices — a (He, k, D) tensor with
-        # k=2 would waste 6/8 sublanes of every (8, 128) TPU vector tile.
-        xp = xi.reshape(he, k * d)
-        edge_emb = xp[:, :d]
+        xi = seg_gather(x_pad, flat, perm, ptr)  # (M, D) slot-major order
+        # Column-major slot blocks: slot j of every edge is the
+        # contiguous row range [j*He, (j+1)*He) of xi, so all per-slot
+        # arithmetic unrolls over k as fat (He, D) slices and 1-D (M,)
+        # vectors. No (He, k) array is ever formed: its 2-wide lane
+        # axis would be tile-padded to 128 on TPU, making every
+        # elementwise score/exp pass stream ~60x its payload.
+        edge_emb = xi[:he]
         for j in range(1, k):
-            edge_emb = edge_emb + xp[:, j * d:(j + 1) * d]  # E = H^T X
+            edge_emb = edge_emb + xi[j * he:(j + 1) * he]  # E = H^T X
         # a = [a_self; a_edge]: score_{e,k} = x_{node} . a_self +
         # edge_emb_e . a_edge — two thin matvecs instead of the
         # reference's concat([x_i, e_j]) @ a over a materialized
         # (He, k, 2D) tensor (identical math, Model/MHRec.py:57-63).
-        e = ((xi @ a[:d]).reshape(he, k)
-             + (edge_emb @ a[d:]))  # (He,k) + (He,1) broadcast
-        e_exp = jnp.exp(e)
+        e_flat = xi @ a[:d, 0] + jnp.tile(edge_emb @ a[d:, 0], k)  # (M,)
+        e_exp = jnp.exp(e_flat)
         # Scalar NON-NEGATIVE softmax denominators stay on segment_sum:
         # the prefix-sum trick's error scales with the global total of
         # all exponentials (see ops/ell.py seg_sum CAVEAT), which would
@@ -235,7 +241,7 @@ class MHRec(RecModel):
         # to the (M, D) message reduction below, which keeps the
         # scatter-free path (zero-mean messages, random-walk totals).
         sums = jax.ops.segment_sum(
-            e_exp.reshape(-1), flat, num_segments=int(ptr.shape[0]) - 1)
+            e_exp, flat, num_segments=int(ptr.shape[0]) - 1)
         # Normalization is applied AFTER aggregation: every slot of a
         # node shares the node's softmax denominator, so
         # sum_k (e/sums)*edge == (sum_k e*edge)/sums exactly — this

@@ -435,18 +435,24 @@ def seg_edge_weighted_sum(edge_emb: jnp.ndarray, alpha: jnp.ndarray,
                           flat_idx: jnp.ndarray, perm: jnp.ndarray,
                           edge_perm: jnp.ndarray, ptr: jnp.ndarray
                           ) -> jnp.ndarray:
-    """``out[s] = sum_{(e,k): flat_idx[e*K+k]==s} alpha[e,k] * edge_emb[e]``
-    without materializing the (He*K, D) message tensor and with
+    """``out[s] = sum_{(e,k): flat_idx[k*He+e]==s} alpha[k*He+e] * edge_emb[e]``
+    without materializing a (He*K, D) message tensor and with
     scatter-free gradients — the fused message aggregation of
     hypergraph attention (MHRec, Model/MHRec.py:37-89).
 
-    ``flat_idx`` is the row-major flattened (He, K) incidence;
-    ``(perm, ptr)`` from :func:`build_segment_transpose(flat_idx)`;
-    ``edge_perm = perm // K`` (per-rebuild constant). Forward: one
-    He-row gather in segment order fused with the weight multiply into
-    the prefix-sum. Backward (both pure gathers, no XLA scatter):
-    ``d edge_emb[e] = sum_k alpha[e,k] * g[flat_idx[e,k]]``,
-    ``d alpha[e,k] = edge_emb[e] . g[flat_idx[e,k]]``.
+    ``flat_idx`` is the COLUMN-MAJOR flattened (He, K) incidence
+    (``h_nodes.T.reshape(-1)``: all slot-0 nodes, then all slot-1
+    nodes, ...), ``alpha`` the matching (He*K,) flat weights, ``(perm,
+    ptr)`` from :func:`build_segment_transpose(flat_idx)`, and
+    ``edge_perm = perm % He`` (per-rebuild constant). Column-major slot
+    order keeps every per-slot quantity a plain 1-D (M,) array or a fat
+    (He, D) slice — no (He, K) arrays anywhere, whose 2-wide lane axis
+    would be tile-padded to 128 on TPU (a ~60x memory inflation per
+    elementwise pass at K=2). Forward: one He-row gather in segment
+    order fused with the weight multiply into the prefix-sum. Backward
+    (both pure gathers, no XLA scatter):
+    ``d edge_emb[e] = sum_k alpha[k*He+e] * g[flat_idx[k*He+e]]``,
+    ``d alpha[k*He+e] = edge_emb[e] . g[flat_idx[k*He+e]]``.
 
     Precision model matches :func:`seg_sum` (global fp32 prefix sums):
     fine for zero-mean message tensors, do NOT use for non-negative
@@ -462,24 +468,23 @@ def _sews_fwd(edge_emb, alpha, flat_idx, perm, edge_perm, ptr):
 
 def _sews_bwd(res, g):
     edge_emb, alpha, flat_idx, perm, edge_perm, ptr = res
-    he, k = alpha.shape
-    d = edge_emb.shape[1]
-    # (He, k*D) packed view instead of a (He, k, D) tensor: TPU tiles are
-    # (8, 128); a k=2 middle dim would waste 6/8 sublanes of every
-    # vector op, so the per-slot terms are statically unrolled over k as
-    # fat 2-D slices (k is a small config constant).
-    g_pack = jnp.take(g, flat_idx, axis=0).astype(jnp.float32)
-    g_pack = g_pack.reshape(he, k * d)
+    he, d = edge_emb.shape
+    k = alpha.shape[0] // he
+    # Column-major slot blocks: slot j of every edge is the contiguous
+    # row range [j*He, (j+1)*He) — the per-slot terms unroll over k as
+    # fat (He, D) slices and 1-D concats, never materializing an
+    # (He, K) array (K=2 lanes would tile-pad to 128 on TPU).
+    g_tk = jnp.take(g, flat_idx, axis=0).astype(jnp.float32)
     a32 = alpha.astype(jnp.float32)
     e32 = edge_emb.astype(jnp.float32)
     d_edge = jnp.zeros((he, d), jnp.float32)
     d_alpha = []
     for j in range(k):
-        gj = g_pack[:, j * d:(j + 1) * d]
-        d_edge = d_edge + a32[:, j:j + 1] * gj
+        gj = g_tk[j * he:(j + 1) * he]
+        d_edge = d_edge + a32[j * he:(j + 1) * he, None] * gj
         d_alpha.append(jnp.sum(e32 * gj, axis=1))
     return (d_edge.astype(edge_emb.dtype),
-            jnp.stack(d_alpha, axis=1).astype(alpha.dtype),
+            jnp.concatenate(d_alpha).astype(alpha.dtype),
             _zero_cot(flat_idx), _zero_cot(perm),
             _zero_cot(edge_perm), _zero_cot(ptr))
 

@@ -163,14 +163,18 @@ def audit_row_adam():
     lr, b1, b2, eps, t = 1e-3, 0.9, 0.999, 1e-8, 3
 
     def xla_ref(p, m, v, rows, g):
+        # DENSE zero-grad Adam semantics (torch-1.11: every row decays
+        # and steps every step) — the contract of row_adam_update and
+        # the kernel, pinned vs optax in tests/test_indexed_adam.py.
+        # The first r5 reaudit wrongly froze untouched rows here and
+        # reported a false FAIL (err(p)=0.107 is the zero-grad step on
+        # rows with tiny v, not a kernel defect).
         gd = jnp.zeros_like(p).at[rows].add(g)
-        touched = jnp.zeros((n,), bool).at[rows].set(True)
-        m2 = jnp.where(touched[:, None], b1 * m + (1 - b1) * gd, m)
-        v2 = jnp.where(touched[:, None], b2 * v + (1 - b2) * gd * gd, v)
+        m2 = b1 * m + (1 - b1) * gd
+        v2 = b2 * v + (1 - b2) * gd * gd
         mh = m2 / (1 - b1 ** t)
         vh = v2 / (1 - b2 ** t)
-        p2 = jnp.where(touched[:, None],
-                       p - lr * mh / (jnp.sqrt(vh) + eps), p)
+        p2 = p - lr * mh / (jnp.sqrt(vh) + eps)
         return p2, m2, v2
 
     want = jax.jit(xla_ref)(p, m, v, rows, g)
