@@ -684,3 +684,92 @@ def _ellp_rowsum_bwd(res, g):
 
 
 _ellp_rowsum.defvjp(_ellp_rowsum_fwd, _ellp_rowsum_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Scatter-free edge-space primitives on an EllPattern (GAT-family steps).
+#
+# Plain advanced indexing in the attention algebra — x[pat.rows],
+# x[pat.cols], denom[pat.rows], conf[src] — autodiffs to UNSORTED
+# scatter-adds (~25 GB/s on v5e vs ~140 GB/s gathers,
+# parity_logs/gather_rates.txt). These wrappers keep the forward a plain
+# gather and route every cotangent through the pattern's gather-reduce
+# orientations instead.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def ellp_pair_inner(p: EllPattern, x: jnp.ndarray) -> jnp.ndarray:
+    """``inner[e] = <x[rows[e]], x[cols[e]]>`` (the GAT attention logit
+    on a fixed topology, Model/GRCN.py:100-107) with a scatter-free
+    x-cotangent: ``dx = A(g) x + A^T(g) x`` where A(g) is the pattern's
+    weighted adjacency with the incoming cotangent as edge weights."""
+    return jnp.sum(jnp.take(x, p.rows, axis=0) * jnp.take(x, p.cols, axis=0),
+                   axis=1)
+
+
+def _ellp_pair_inner_fwd(p, x):
+    return ellp_pair_inner(p, x), (p, x)
+
+
+def _ellp_pair_inner_bwd(res, g):
+    p, x = res
+    gp = _pad_w(g)
+    dx = (_ellp_apply(p.idx, p.eid, p.ov_ptr, p.ov_col, p.ov_eid, gp, x)
+          + _ellp_apply(p.t_idx, p.t_eid, p.t_ov_ptr, p.t_ov_col,
+                        p.t_ov_eid, gp, x))
+    return jax.tree.map(_zero_cot, p), dx.astype(x.dtype)
+
+
+ellp_pair_inner.defvjp(_ellp_pair_inner_fwd, _ellp_pair_inner_bwd)
+
+
+@jax.custom_vjp
+def ellp_row_expand(p: EllPattern, vals: jnp.ndarray) -> jnp.ndarray:
+    """``vals[p.rows]`` (broadcast a per-ROW scalar to its edges) whose
+    cotangent is the pattern's rowsum gather-reduce, not a scalar
+    scatter-add."""
+    return jnp.take(vals, p.rows)
+
+
+def _ellp_row_expand_fwd(p, vals):
+    return ellp_row_expand(p, vals), (p, vals)
+
+
+def _ellp_row_expand_bwd(res, g):
+    p, vals = res
+    return (jax.tree.map(_zero_cot, p),
+            _ellp_rowsum_primal(p, _pad_w(g)).astype(vals.dtype))
+
+
+ellp_row_expand.defvjp(_ellp_row_expand_fwd, _ellp_row_expand_bwd)
+
+
+def _ellp_colsum_primal(p, w_pad):
+    out = jnp.sum(jnp.take(w_pad, p.t_eid), axis=1)
+    if p.t_ov_col.shape[0]:
+        cs = jnp.cumsum(jnp.take(w_pad, p.t_ov_eid))
+        cs = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
+        out = out + cs[p.t_ov_ptr[1:]] - cs[p.t_ov_ptr[:-1]]
+    return out
+
+
+@jax.custom_vjp
+def ellp_col_expand(p: EllPattern, vals: jnp.ndarray) -> jnp.ndarray:
+    """``vals[p.cols]`` (broadcast a per-COLUMN scalar to its edges, e.g.
+    a per-source-node confidence) whose cotangent rides the transpose
+    orientation's gather-reduce."""
+    return jnp.take(vals, p.cols)
+
+
+def _ellp_col_expand_fwd(p, vals):
+    return ellp_col_expand(p, vals), (p, vals)
+
+
+def _ellp_col_expand_bwd(res, g):
+    p, vals = res
+    return (jax.tree.map(_zero_cot, p),
+            _ellp_colsum_primal(p, _pad_w(g)).astype(vals.dtype))
+
+
+ellp_col_expand.defvjp(_ellp_col_expand_fwd, _ellp_col_expand_bwd)

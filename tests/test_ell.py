@@ -449,3 +449,114 @@ def test_lattice_dense_bf16_item_graph_matches_ell(rng, tiny_dataset):
     g_d = jax.grad(loss_d)(params)
     assert float(jnp.abs(g_d["image_trs_w"]).max()) > 0.0
     assert float(jnp.abs(g_d["modal_weight"]).max()) > 0.0
+
+
+def test_ellp_edge_primitives_match_plain_indexing():
+    """ellp_pair_inner / ellp_row_expand / ellp_col_expand (the GRCN
+    scatter-free attention algebra) must equal plain advanced indexing
+    in value AND gradient."""
+    from chaorec_tpu.ops.ell import (EllPattern, ellp_col_expand,
+                                     ellp_pair_inner, ellp_row_expand)
+
+    rs = np.random.default_rng(11)
+    n, e, d = 37, 180, 16
+    rows = rs.integers(0, n, e)
+    cols = rs.integers(0, n, e)
+    p = EllPattern.from_coo(rows, cols, n, n)
+    x = jnp.asarray(rs.standard_normal((n, d)), jnp.float32)
+    vals = jnp.asarray(rs.standard_normal(n), jnp.float32)
+    g_e = jnp.asarray(rs.standard_normal(e), jnp.float32)
+    rj, cj = jnp.asarray(rows), jnp.asarray(cols)
+
+    # pair_inner: value + x-gradient
+    np.testing.assert_allclose(
+        ellp_pair_inner(p, x), jnp.sum(x[rj] * x[cj], axis=1),
+        rtol=1e-5, atol=1e-5)
+    got = jax.grad(lambda x_: jnp.sum(ellp_pair_inner(p, x_) * g_e))(x)
+    want = jax.grad(
+        lambda x_: jnp.sum(jnp.sum(x_[rj] * x_[cj], 1) * g_e))(x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # row/col expand: value + vals-gradient
+    for fn, idx in ((ellp_row_expand, rj), (ellp_col_expand, cj)):
+        np.testing.assert_allclose(fn(p, vals), vals[idx],
+                                   rtol=1e-6, atol=1e-6)
+        got = jax.grad(lambda v: jnp.sum(fn(p, v) * g_e))(vals)
+        want = jax.grad(lambda v: jnp.sum(v[idx] * g_e))(vals)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_grcn_scatter_free_forward_matches_plain():
+    """GRCN's rewritten _cgcn + gated edge weights must equal the plain
+    advanced-indexing formulation (value and a full-loss gradient)."""
+    from chaorec_tpu.models.grcn import GRCN
+    from chaorec_tpu.graphs.norm_adj import build_norm_adj
+
+    rs = np.random.default_rng(5)
+    nu, ni, e = 13, 19, 60
+    edges = np.stack([rs.integers(0, nu, e),
+                      rs.integers(0, ni, e)], 1)
+    edges = np.unique(edges, axis=0)
+    g = build_norm_adj(jnp.asarray(edges), nu, ni, use_dense=False)
+    v_feat = jnp.asarray(rs.standard_normal((ni, 24)), jnp.float32)
+    t_feat = jnp.asarray(rs.standard_normal((ni, 12)), jnp.float32)
+    m = GRCN(nu, ni, g, v_feat, t_feat, 8, 8, 1e-3, 0.0, 3)
+    params = m.init_params(jax.random.PRNGKey(0))
+
+    def plain_forward(params):
+        pat = m.pat
+
+        def cgcn(mod, feat):
+            f = jax.nn.leaky_relu(
+                feat @ params[f"{mod}_mlp_w"].T + params[f"{mod}_mlp_b"],
+                0.01)
+            from chaorec_tpu.ops.losses import l2norm
+            x = jnp.concatenate(
+                [l2norm(params[f"{mod}_preference"]), l2norm(f)], 0)
+            inner = jnp.sum(x[pat.rows] * x[pat.cols], axis=1)
+            ee = jnp.exp(inner)
+            denom = jnp.zeros(
+                (m.n_nodes,), jnp.float32).at[pat.rows].add(ee)
+            alpha = ee / jnp.maximum(denom, 1e-16)[pat.rows]
+            out = jnp.zeros_like(x).at[pat.rows].add(
+                alpha[:, None] * x[pat.cols])
+            return x + jax.nn.leaky_relu(out, 0.01), alpha
+
+        v_rep, av = cgcn("v", v_feat)
+        t_rep, at = cgcn("t", t_feat)
+        conf = params["model_specific_conf"][pat.cols]
+        w_edge = jax.nn.relu(
+            jnp.max(jnp.stack([av, at], 1) * conf, axis=1))
+        from chaorec_tpu.ops.losses import l2norm
+        x = l2norm(params["id_embedding"])
+        x1 = jax.nn.leaky_relu(
+            jnp.zeros_like(x).at[pat.rows].add(
+                w_edge[:, None] * x[pat.cols]), 0.01)
+        x2 = jax.nn.leaky_relu(
+            jnp.zeros_like(x).at[pat.rows].add(
+                w_edge[:, None] * x1[pat.cols]), 0.01)
+        rep = jnp.concatenate([x + x1 + x2, v_rep, t_rep], 1)
+        return rep[:nu], rep[nu:]
+
+    fu, fi = m.forward(params)
+    ru, ri = plain_forward(params)
+    np.testing.assert_allclose(np.asarray(fu), np.asarray(ru),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fi), np.asarray(ri),
+                               rtol=2e-5, atol=2e-5)
+
+    def l_new(pp):
+        a, b = m.forward(pp)
+        return jnp.sum(a ** 2) + jnp.sum(jnp.sin(b))
+
+    def l_ref(pp):
+        a, b = plain_forward(pp)
+        return jnp.sum(a ** 2) + jnp.sum(jnp.sin(b))
+
+    gn = jax.grad(l_new)(params)
+    gr = jax.grad(l_ref)(params)
+    for k in gr:
+        scale = max(float(jnp.abs(gr[k]).max()), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(gn[k]), np.asarray(gr[k]),
+            rtol=1e-3, atol=2e-5 * scale, err_msg=k)
