@@ -215,8 +215,14 @@ class MHRec(RecModel):
 
         he, k = h_nodes.shape
         flat, perm, ptr, edge_perm = layout
+        # The (M, D) slot traffic (gather + weighted reduce, fwd AND bwd)
+        # is pure HBM bandwidth; run it at graph_compute_dtype (bf16 by
+        # default, same knob as the dense propagate towers) with fp32
+        # score/softmax/accumulation — the ELL primitives already cumsum
+        # in fp32 and return gradients in the input dtype.
+        dt = getattr(self, "sample_dtype", None) or x.dtype
         x_pad = jnp.concatenate(
-            [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+            [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0).astype(dt)
         d = x.shape[1]
         xi = seg_gather(x_pad, flat, perm, ptr)  # (M, D) slot-major order
         # Column-major slot blocks: slot j of every edge is the
@@ -232,7 +238,12 @@ class MHRec(RecModel):
         # edge_emb_e . a_edge — two thin matvecs instead of the
         # reference's concat([x_i, e_j]) @ a over a materialized
         # (He, k, 2D) tensor (identical math, Model/MHRec.py:57-63).
-        e_flat = xi @ a[:d, 0] + jnp.tile(edge_emb @ a[d:, 0], k)  # (M,)
+        e_flat = (
+            jnp.dot(xi, a[:d, 0].astype(dt),
+                    preferred_element_type=jnp.float32)
+            + jnp.tile(jnp.dot(edge_emb, a[d:, 0].astype(dt),
+                               preferred_element_type=jnp.float32), k)
+        )  # (M,) fp32 scores
         e_exp = jnp.exp(e_flat)
         # Scalar NON-NEGATIVE softmax denominators stay on segment_sum:
         # the prefix-sum trick's error scales with the global total of
@@ -251,7 +262,7 @@ class MHRec(RecModel):
         # divide once at node granularity.
         agg = seg_edge_weighted_sum(
             edge_emb, e_exp, flat, perm, edge_perm, ptr)[:self.num_nodes]
-        return agg / (sums[:self.num_nodes, None] + 1e-16)
+        return (agg / (sums[:self.num_nodes, None] + 1e-16)).astype(x.dtype)
 
     def _gcn_mean(self, xu, xi):
         us, its = [xu], [xi]

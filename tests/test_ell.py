@@ -260,6 +260,23 @@ def test_mhrec_hyper_attn_scatter_free_matches_reference(rng):
         scale = float(jnp.abs(r).max())
         np.testing.assert_allclose(g, r, rtol=1e-3, atol=2e-5 * scale)
 
+    # bf16 message path (graph_compute_dtype knob): scores/softmax stay
+    # fp32, only the (M, D) slot traffic drops to bf16 — values track the
+    # fp32 reference within bf16 resolution, gradients stay finite and
+    # directionally aligned.
+    model.sample_dtype = jnp.bfloat16
+    got16 = model._hyper_attn(a, h_nodes, layout, x)
+    assert got16.dtype == x.dtype
+    np.testing.assert_allclose(got16, ref, rtol=2e-2, atol=2e-2)
+    ga16, gx16 = jax.grad(
+        lambda a, x: jnp.sum(model._hyper_attn(a, h_nodes, layout, x) ** 2),
+        argnums=(0, 1))(a, x)
+    for g, r in ((ga16, ra), (gx16, rx)):
+        assert bool(jnp.all(jnp.isfinite(g)))
+        cos = jnp.sum(g * r) / (
+            jnp.linalg.norm(g) * jnp.linalg.norm(r) + 1e-12)
+        assert float(cos) > 0.999
+
 
 def test_seg_prop_matches_segment_sum_and_grad():
     """The seg_gather/seg_sum propagation used by AdaGCL/GRADE/DCCF/DGCF
