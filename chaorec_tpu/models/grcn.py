@@ -86,23 +86,22 @@ class GRCN(RecModel):
         per-destination softmax needs no max-subtraction (shift
         invariance): alpha = exp(inner)*keep / rowsum(exp(inner)*keep),
         identical to PyG's softmax with -inf-masked dropped edges."""
-        from chaorec_tpu.ops.ell import ellp_pair_inner, ellp_row_expand
-
         f = jax.nn.leaky_relu(
             feat @ params[f"{mod}_mlp_w"].T + params[f"{mod}_mlp_b"], 0.01
         )
         pref = l2norm(params[f"{mod}_preference"])
         f = l2norm(f)
         x = jnp.concatenate([pref, f], axis=0)
-        # scatter-free edge algebra: plain x[rows]/x[cols]/denom[rows]
-        # indexing autodiffs to unsorted scatter-adds (~25 GB/s on v5e);
-        # the ellp_* wrappers route every cotangent through the
-        # pattern's gather-reduce orientations (~140 GB/s).
-        inner = ellp_pair_inner(self.pat, x)
+        # Plain-indexing edge algebra, KEPT after an r5 A/B: the
+        # scatter-free ellp_pair_inner/ellp_row_expand rewrite (see
+        # ops/ell.py) measured SLOWER on the real chip (netfilx 37.6 s
+        # vs 33.8 s, beauty 5.47 s vs 4.40 s epochs) — same lesson as
+        # NGCF's sorted rewrite: autodiff's unsorted scatters cost about
+        # the same as gathers here, and the rewrite's extra passes lose.
+        inner = jnp.sum(x[self.pat.rows] * x[self.pat.cols], axis=1)
         e = jnp.exp(inner) * keep2
         denom = self.pat.weighted_rowsum(e)
-        alpha = e * ellp_row_expand(
-            self.pat, 1.0 / jnp.maximum(denom, 1e-16))
+        alpha = e / jnp.maximum(denom, 1e-16)[self.pat.rows]
         out = self.pat.weighted_matvec(alpha, x)
         return x + jax.nn.leaky_relu(out, 0.01), alpha
 
@@ -118,18 +117,15 @@ class GRCN(RecModel):
         keep2 = jnp.concatenate([keep, keep])
         v_rep, alpha_v = self._cgcn(params, "v", self.v_feat, keep2)
         t_rep, alpha_t = self._cgcn(params, "t", self.t_feat, keep2)
-        # Per-edge gated max over modalities, all in 1-D (M,) arrays: a
-        # (2E, 2) stack would tile-pad its 2-wide lane axis to 128 on
-        # TPU (~60x memory per elementwise pass). The source-node
-        # confidences broadcast to edges via the pattern's column
-        # orientation (conf is TRAINED, so the plain-indexing VJP would
-        # be an unsorted (2E, 2)->(N, 2) scatter-add).
-        from chaorec_tpu.ops.ell import ellp_col_expand
-
-        conf = params["model_specific_conf"]
-        conf_v = ellp_col_expand(self.pat, conf[:, 0])
-        conf_t = ellp_col_expand(self.pat, conf[:, 1])
-        w_edge = jnp.maximum(alpha_v * conf_v, alpha_t * conf_t)
+        # Per-edge gated max over modalities (plain indexing — see the
+        # r5 A/B note in _cgcn; the ellp_col_expand variant measured
+        # slower on-chip).
+        weight = jnp.stack([alpha_v, alpha_t], axis=1)  # (2E, 2)
+        conf = jnp.concatenate(
+            [params["model_specific_conf"][self.e_u],
+             params["model_specific_conf"][self.e_i + self.num_user]], axis=0,
+        )  # (2E, 2)
+        w_edge = jnp.max(weight * conf, axis=1)
         w_edge = jax.nn.relu(w_edge)  # pruning
         w_edge = w_edge * keep2
 
