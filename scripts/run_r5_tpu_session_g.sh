@@ -1,0 +1,23 @@
+#!/bin/bash
+# r5 TPU session G: runs after session F drains. Phase-C-only MHRec
+# retime with the bf16 slot-message path (the reference's
+# log/MHRec_beauty.log workload — see the measurement-mode note in
+# models/mhrec.py), the headline row for VERDICT r4 missing #4.
+set -u
+cd /root/repo
+DONE=parity_logs/.done
+mkdir -p "$DONE"
+if [ -f /tmp/r5_queue.pid ]; then
+  while kill -0 "$(cat /tmp/r5_queue.pid)" 2>/dev/null; do sleep 60; done
+fi
+if [ ! -f "$DONE/r5g_mhrec_phasec_bf16" ]; then
+  echo "=== MHRec phase-C retime (bf16 slots) start $(date +%H:%M:%S)"
+  CHAOREC_MHREC_PHASE_C_ONLY=1 timeout 2400 \
+    python scripts/run_speed_single.py --Model MHRec \
+    --data_path beauty --num_epoch 8 --data_root /root/reference/Data \
+    --log_dir /tmp > parity_logs/MHRec_beauty.phaseC.speed_r5g.stdout 2>&1
+  rc=$?
+  echo "=== MHRec phase-C exit $rc $(date +%H:%M:%S)"
+  [ $rc -eq 0 ] && echo "ok $(date +%F_%H:%M:%S)" > "$DONE/r5g_mhrec_phasec_bf16"
+fi
+echo "=== r5 TPU session G complete $(date +%H:%M:%S)"
