@@ -127,6 +127,14 @@ class MessagePassing(torch.nn.Module):
         row, col = edge_index[0], edge_index[1]
         if self.flow == "target_to_source":
             row, col = col, row
+        # PyG special argument names (GRCN's EGCNConv.message uses
+        # edge_index_i / size_i, Model/GRCN.py:37-41)
+        n_target = n_source = None
+        if size is not None:
+            n_target = size[1] if self.flow == "source_to_target" else size[0]
+            n_source = size[0] if self.flow == "source_to_target" else size[1]
+        elif "x" in kwargs and kwargs["x"] is not None:
+            n_target = n_source = kwargs["x"].size(0)
         args = []
         params = list(inspect.signature(fn).parameters)
         for name in params:
@@ -134,6 +142,14 @@ class MessagePassing(torch.nn.Module):
                 continue
             if name in extra:
                 args.append(extra[name])
+            elif name == "edge_index_i":
+                args.append(col)
+            elif name == "edge_index_j":
+                args.append(row)
+            elif name == "size_i":
+                args.append(n_target)
+            elif name == "size_j":
+                args.append(n_source)
             elif name.endswith("_j") and name[:-2] in kwargs:
                 args.append(kwargs[name[:-2]].index_select(0, row))
             elif name.endswith("_i") and name[:-2] in kwargs:
