@@ -21,3 +21,14 @@ if [ ! -f "$DONE/r5g_mhrec_phasec_bf16" ]; then
   [ $rc -eq 0 ] && echo "ok $(date +%F_%H:%M:%S)" > "$DONE/r5g_mhrec_phasec_bf16"
 fi
 echo "=== r5 TPU session G complete $(date +%H:%M:%S)"
+
+if [ ! -f "$DONE/r5g_lattice_microlens" ]; then
+  echo "=== LATTICE microlens clean retime start $(date +%H:%M:%S)"
+  timeout 2400 python scripts/run_speed_single.py --Model LATTICE \
+    --data_path microlens --num_epoch 6 --data_root /root/reference/Data \
+    --log_dir /tmp > parity_logs/LATTICE_microlens.speed_r5g.stdout 2>&1
+  rc=$?
+  echo "=== LATTICE microlens exit $rc $(date +%H:%M:%S)"
+  [ $rc -eq 0 ] && echo "ok $(date +%F_%H:%M:%S)" > "$DONE/r5g_lattice_microlens"
+fi
+echo "=== r5 TPU session G tail complete $(date +%H:%M:%S)"
