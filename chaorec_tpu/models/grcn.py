@@ -65,6 +65,11 @@ class GRCN(RecModel):
         src = np.concatenate([e_u, e_i])
         dst = np.concatenate([e_i, e_u])
         self.pat = EllPattern.from_coo(dst, src, self.n_nodes, self.n_nodes)
+        import os
+
+        # lane-packed v/t CGCN towers (see _cgcn_packed); escape hatch
+        # for A/B timing
+        self._packed = os.environ.get("CHAOREC_GRCN_PACKED", "1") == "1"
 
     def init_params(self, rng: jax.Array) -> Params:
         ks = jax.random.split(rng, 6)
@@ -105,6 +110,34 @@ class GRCN(RecModel):
         out = self.pat.weighted_matvec(alpha, x)
         return x + jax.nn.leaky_relu(out, 0.01), alpha
 
+    def _cgcn_packed(self, params, keep2):
+        """Both CGCN towers in lane-packed form: a (N, 64) fp32 table
+        tiles to 128 lanes on TPU (half the row bytes are padding), so
+        the v/t towers run their edge passes on ONE (N, 128) packed
+        table — same math as two :meth:`_cgcn` calls, half the gather
+        traffic. Returns (v_rep, t_rep, alpha_v, alpha_t)."""
+        from chaorec_tpu.ops.ell import (ellp_matvec_grouped,
+                                         ellp_pair_inner_grouped)
+
+        towers = []
+        for mod, feat in (("v", self.v_feat), ("t", self.t_feat)):
+            f = jax.nn.leaky_relu(
+                feat @ params[f"{mod}_mlp_w"].T + params[f"{mod}_mlp_b"],
+                0.01)
+            towers.append(jnp.concatenate(
+                [l2norm(params[f"{mod}_preference"]), l2norm(f)], axis=0))
+        x_cat = jnp.concatenate(towers, axis=1)          # (N, 2*dim_C)
+        inner = ellp_pair_inner_grouped(self.pat, x_cat, 2)   # (2E, 2)
+        e = jnp.exp(inner) * keep2[:, None]
+        den = jnp.stack([self.pat.weighted_rowsum(e[:, 0]),
+                         self.pat.weighted_rowsum(e[:, 1])], axis=1)
+        alpha = e / jnp.maximum(den, 1e-16)[self.pat.rows]
+        out = ellp_matvec_grouped(self.pat, alpha, x_cat)     # (N, 2*dim_C)
+        d = self.dim_C
+        v_rep = towers[0] + jax.nn.leaky_relu(out[:, :d], 0.01)
+        t_rep = towers[1] + jax.nn.leaky_relu(out[:, d:], 0.01)
+        return v_rep, t_rep, alpha[:, 0], alpha[:, 1]
+
     def forward(self, params: Params, rng=None):
         e = self.e_u.shape[0]
         if rng is not None and self.dropout > 0:
@@ -115,8 +148,11 @@ class GRCN(RecModel):
             keep = jnp.ones((e,), jnp.float32)
 
         keep2 = jnp.concatenate([keep, keep])
-        v_rep, alpha_v = self._cgcn(params, "v", self.v_feat, keep2)
-        t_rep, alpha_t = self._cgcn(params, "t", self.t_feat, keep2)
+        if self._packed:
+            v_rep, t_rep, alpha_v, alpha_t = self._cgcn_packed(params, keep2)
+        else:
+            v_rep, alpha_v = self._cgcn(params, "v", self.v_feat, keep2)
+            t_rep, alpha_t = self._cgcn(params, "t", self.t_feat, keep2)
         # Per-edge gated max over modalities (plain indexing — see the
         # r5 A/B note in _cgcn; the ellp_col_expand variant measured
         # slower on-chip).

@@ -30,6 +30,7 @@ backward pass either.  See ``EllMatrix.t``.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -773,3 +774,100 @@ def _ellp_col_expand_bwd(res, g):
 
 
 ellp_col_expand.defvjp(_ellp_col_expand_fwd, _ellp_col_expand_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Lane-grouped (packed) edge primitives.
+#
+# A (N, 64) fp32 table tiles to (8, 128) on TPU: the minor axis pads
+# 64 -> 128 and every row gather reads 2x the useful bytes. GAT-family
+# models with G parallel towers over the SAME topology (GRCN's v/t CGCN
+# branches, Model/GRCN.py:89-121) can pack the towers' tables into one
+# (N, G*64) array whose rows are fully utilized, halving edge-pass HBM
+# traffic at G=2. These primitives apply per-group edge weights to the
+# packed lanes with the same gather-reduce VJP scheme as the 1-D
+# EllPattern ops above.
+# ---------------------------------------------------------------------------
+
+
+def _ellp_apply_grouped(idx, eid, ov_ptr, ov_col, ov_eid, w_pad, x,
+                        groups: int):
+    """``out[r, g*D:(g+1)*D] = sum_{slots} w_pad[eid, g] * x[col, g*D:..]``
+    with w_pad (E+1, G) (pad row zero) and x (N, G*D) lane-packed."""
+    d = x.shape[1] // groups
+    w = jnp.take(w_pad, eid, axis=0)                  # (R, K, G)
+    ga = jnp.take(x, idx, axis=0)                     # (R, K, G*D)
+    wl = jnp.repeat(w, d, axis=2)                     # broadcast, fused
+    out = jnp.einsum("rkd,rkd->rd", wl, ga,
+                     preferred_element_type=jnp.float32)
+    if ov_col.shape[0]:
+        wo = jnp.repeat(jnp.take(w_pad, ov_eid, axis=0), d, axis=1)
+        msgs = wo * jnp.take(x, ov_col, axis=0)
+        cs = jnp.cumsum(msgs.astype(jnp.float32), axis=0)
+        cs = jnp.concatenate([jnp.zeros((1, cs.shape[1]), cs.dtype), cs], 0)
+        out = out + cs[ov_ptr[1:]] - cs[ov_ptr[:-1]]
+    return out.astype(jnp.float32)
+
+
+def _pad_w_grouped(w_edge):
+    return jnp.concatenate(
+        [w_edge.astype(jnp.float32),
+         jnp.zeros((1, w_edge.shape[1]), jnp.float32)], axis=0)
+
+
+@jax.custom_vjp
+def ellp_matvec_grouped(p: EllPattern, w_edge: jnp.ndarray,
+                        x: jnp.ndarray) -> jnp.ndarray:
+    """Grouped weighted matvec: ``w_edge`` (E, G), ``x`` (N, G*D)
+    lane-packed; group g's weights apply to lanes [g*D, (g+1)*D)."""
+    return _ellp_apply_grouped(p.idx, p.eid, p.ov_ptr, p.ov_col, p.ov_eid,
+                               _pad_w_grouped(w_edge), x, w_edge.shape[1])
+
+
+def _ellp_matvec_grouped_fwd(p, w_edge, x):
+    return ellp_matvec_grouped(p, w_edge, x), (p, w_edge, x)
+
+
+def _ellp_matvec_grouped_bwd(res, g):
+    p, w_edge, x = res
+    groups = w_edge.shape[1]
+    d = x.shape[1] // groups
+    dx = _ellp_apply_grouped(p.t_idx, p.t_eid, p.t_ov_ptr, p.t_ov_col,
+                             p.t_ov_eid, _pad_w_grouped(w_edge), g, groups)
+    prod = jnp.take(g, p.rows, axis=0) * jnp.take(x, p.cols, axis=0)
+    dw = jnp.sum(prod.reshape(prod.shape[0], groups, d), axis=2)
+    return (jax.tree.map(_zero_cot, p), dw.astype(w_edge.dtype),
+            dx.astype(x.dtype))
+
+
+ellp_matvec_grouped.defvjp(_ellp_matvec_grouped_fwd,
+                           _ellp_matvec_grouped_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def ellp_pair_inner_grouped(p: EllPattern, x: jnp.ndarray,
+                            groups: int) -> jnp.ndarray:
+    """``inner[e, g] = <x[rows[e], lanes_g], x[cols[e], lanes_g]>`` on a
+    lane-packed (N, G*D) table — G attention logits from ONE pair of
+    packed row gathers instead of G narrow (half-wasted) ones."""
+    prod = (jnp.take(x, p.rows, axis=0) * jnp.take(x, p.cols, axis=0))
+    return jnp.sum(prod.reshape(prod.shape[0], groups,
+                                x.shape[1] // groups), axis=2)
+
+
+def _ellp_pair_inner_grouped_fwd(p, x, groups):
+    return ellp_pair_inner_grouped(p, x, groups), (p, x)
+
+
+def _ellp_pair_inner_grouped_bwd(groups, res, g):
+    p, x = res
+    gp = _pad_w_grouped(g)
+    dx = (_ellp_apply_grouped(p.idx, p.eid, p.ov_ptr, p.ov_col, p.ov_eid,
+                              gp, x, groups)
+          + _ellp_apply_grouped(p.t_idx, p.t_eid, p.t_ov_ptr, p.t_ov_col,
+                                p.t_ov_eid, gp, x, groups))
+    return jax.tree.map(_zero_cot, p), dx.astype(x.dtype)
+
+
+ellp_pair_inner_grouped.defvjp(_ellp_pair_inner_grouped_fwd,
+                               _ellp_pair_inner_grouped_bwd)

@@ -577,3 +577,53 @@ def test_grcn_scatter_free_forward_matches_plain():
         np.testing.assert_allclose(
             np.asarray(gn[k]), np.asarray(gr[k]),
             rtol=1e-3, atol=2e-5 * scale, err_msg=k)
+
+
+def test_grcn_packed_cgcn_matches_unfused(rng):
+    """The lane-packed v/t CGCN path (_cgcn_packed over a (N, 2D) table,
+    ellp_pair_inner_grouped / ellp_matvec_grouped) must reproduce the
+    per-modality _cgcn values, alphas, losses, and gradients."""
+    import numpy as np
+
+    from chaorec_tpu.graphs.norm_adj import BipartiteGraph
+    from chaorec_tpu.models.base import Batch
+    from chaorec_tpu.models.grcn import GRCN
+
+    rs = np.random.RandomState(0)
+    nu, ni, e, dc = 40, 30, 180, 8
+    eu = rs.randint(0, nu, e).astype(np.int32)
+    ei = rs.randint(0, ni, e).astype(np.int32)
+    from chaorec_tpu.graphs.norm_adj import build_norm_adj
+
+    g = build_norm_adj(np.stack([eu, ei], 1), nu, ni)
+    vf = jnp.asarray(rs.normal(size=(ni, 12)).astype(np.float32))
+    tf = jnp.asarray(rs.normal(size=(ni, 6)).astype(np.float32))
+    model = GRCN(nu, ni, g, vf, tf, dim_E=8, dim_C=dc, reg_weight=1e-3,
+                 dropout=0.0, num_routing=2)
+    params = model.init_params(jax.random.PRNGKey(1))
+    keep2 = jnp.ones((2 * e,), jnp.float32)
+
+    vr0, av0 = model._cgcn(params, "v", vf, keep2)
+    tr0, at0 = model._cgcn(params, "t", tf, keep2)
+    vr1, tr1, av1, at1 = model._cgcn_packed(params, keep2)
+    np.testing.assert_allclose(vr1, vr0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(tr1, tr0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(av1, av0, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(at1, at0, rtol=1e-5, atol=1e-6)
+
+    batch = Batch(jnp.asarray(rs.randint(0, nu, 16)),
+                  jnp.asarray(rs.randint(0, ni, 16)),
+                  jnp.asarray(rs.randint(0, ni, 16)),
+                  jnp.ones((16,), jnp.float32))
+
+    def loss_with(packed):
+        model._packed = packed
+        return lambda p: model.loss(p, batch, None)
+
+    l0, g0 = jax.value_and_grad(loss_with(False))(params)
+    l1, g1 = jax.value_and_grad(loss_with(True))(params)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    for k in g0:
+        scale = float(jnp.abs(g0[k]).max()) + 1e-12
+        np.testing.assert_allclose(
+            g1[k], g0[k], rtol=1e-4, atol=1e-5 * scale, err_msg=k)
