@@ -32,3 +32,15 @@ if [ ! -f "$DONE/r5g_lattice_microlens" ]; then
   [ $rc -eq 0 ] && echo "ok $(date +%F_%H:%M:%S)" > "$DONE/r5g_lattice_microlens"
 fi
 echo "=== r5 TPU session G tail complete $(date +%H:%M:%S)"
+
+if [ ! -f "$DONE/r5g_grcn_unpacked_ab" ]; then
+  echo "=== GRCN netfilx A/B control (CHAOREC_GRCN_PACKED=0) start $(date +%H:%M:%S)"
+  CHAOREC_GRCN_PACKED=0 timeout 3000 python scripts/run_speed_single.py \
+    --Model GRCN --data_path netfilx --num_epoch 8 \
+    --data_root /root/reference/Data --log_dir /tmp \
+    > parity_logs/GRCN_netfilx.speed_r5g_unpacked.stdout 2>&1
+  rc=$?
+  echo "=== GRCN A/B control exit $rc $(date +%H:%M:%S)"
+  [ $rc -eq 0 ] && echo "ok $(date +%F_%H:%M:%S)" > "$DONE/r5g_grcn_unpacked_ab"
+fi
+echo "=== r5 TPU session G tail2 complete $(date +%H:%M:%S)"
