@@ -26,7 +26,12 @@ REF_EPOCH_S = {
     "DRAGON_sports": 17.0,
     "MICRO_microlens": 54.0,
     "LATTICE_microlens": 5.0,
-    "MHRec_beauty": 4.0,        # phase-C-only workload in the ref log
+    # log/MHRec_beauty.log provably ran phase C only (none of the
+    # unconditional diffusion-phase lines, train_and_evaluate.py:337-364
+    # — see the measurement-mode note in models/mhrec.py). The matched
+    # workload is the .phaseC row; the FULL three-phase epoch has no
+    # reference timing (None = print no ref/speedup).
+    "MHRec_beauty": None,
     "MHRec_beauty.phaseC": 4.0,
     "DiffMM_beauty": 13.0,
     "GUME_sports": 15.0,
@@ -114,9 +119,16 @@ def main() -> None:
             rows.append((name, None, None, None, kind))
             continue
         med, n = s
-        ref = REF_EPOCH_S.get(name)
-        if ref is None:
-            ref = _ref_epoch_from_log(name)
+        # retime stdouts carry dated suffixes (Model_data.speed_r5c2,
+        # Model_data.full.speed_r5e): the reference column belongs to
+        # the base workload (".phaseC" is semantic and kept)
+        parts = name.split(".")
+        base = parts[0] + (".phaseC" if len(parts) > 1
+                           and parts[1] == "phaseC" else "")
+        if base in REF_EPOCH_S:
+            ref = REF_EPOCH_S[base]
+        else:
+            ref = _ref_epoch_from_log(base)
         rows.append((name, med, n, ref, kind))
     w = max((len(r[0]) for r in rows), default=10)
     print(f"{'workload':<{w}}  epochs  median_s  ref_s  speedup  source")
