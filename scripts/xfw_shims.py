@@ -157,7 +157,9 @@ class MessagePassing(torch.nn.Module):
             elif name == "edge_index":
                 args.append(edge_index)
             elif name == "size":
-                args.append(size)
+                # PyG passes message() the RESOLVED [N_src, N_tgt] list
+                # (MGAT's message reads size[0] with a size=None call)
+                args.append([n_source, n_target] if size is None else size)
             elif name in kwargs:
                 args.append(kwargs[name])
             else:
