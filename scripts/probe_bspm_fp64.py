@@ -81,8 +81,8 @@ def main():
     truth_lens = np.asarray(ds.test_pos.lengths)[rows]
 
     def r20(model):
-        scores = np.asarray(model.score_users({}, sample_j),
-                            dtype=np.float64)
+        scores = np.array(model.score_users({}, sample_j),
+                          dtype=np.float64, copy=True)
         # reference masking semantics: history -> 1e-6, then top-k
         hist = np.asarray(ds.history.values)[sample_users]
         for r in range(scores.shape[0]):
