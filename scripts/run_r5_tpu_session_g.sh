@@ -44,3 +44,14 @@ if [ ! -f "$DONE/r5g_grcn_unpacked_ab" ]; then
   [ $rc -eq 0 ] && echo "ok $(date +%F_%H:%M:%S)" > "$DONE/r5g_grcn_unpacked_ab"
 fi
 echo "=== r5 TPU session G tail2 complete $(date +%H:%M:%S)"
+
+if [ ! -f "$DONE/r5g_mhrec_bench" ]; then
+  echo "=== MHRec component bench (fixed args) start $(date +%H:%M:%S)"
+  timeout 1800 python scripts/bench_mhrec.py --data_path beauty \
+    --data_root /root/reference/Data \
+    > parity_logs/MHRec_beauty.phaseC.bench_r5e.txt 2>&1
+  rc=$?
+  echo "=== MHRec bench exit $rc $(date +%H:%M:%S)"
+  [ $rc -eq 0 ] && echo "ok $(date +%F_%H:%M:%S)" > "$DONE/r5g_mhrec_bench"
+fi
+echo "=== r5 TPU session G tail3 complete $(date +%H:%M:%S)"
