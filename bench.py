@@ -50,7 +50,8 @@ def wait_for_backend(max_wait_s: float | None = None, poll_s: float = 30.0) -> s
 _QUEUE_PID_FILES = ("/tmp/watchdog.pid", "/tmp/watchdog2.pid",
                     "/tmp/quality_r2.pid", "/tmp/r5_queue.pid",
                     "/tmp/r5_xfw.pid", "/tmp/r5_sessG.pid",
-                    "/tmp/r5_adagcl.pid", "/tmp/r5_cputail.pid")
+                    "/tmp/r5_adagcl.pid", "/tmp/r5_cputail.pid",
+                    "/tmp/xfw_queue.pid")
 
 
 def _pause_evidence_queue(pid_files=_QUEUE_PID_FILES):
