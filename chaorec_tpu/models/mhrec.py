@@ -238,17 +238,9 @@ class MHRec(RecModel):
         # edge_emb_e . a_edge — two thin matvecs instead of the
         # reference's concat([x_i, e_j]) @ a over a materialized
         # (He, k, 2D) tensor (identical math, Model/MHRec.py:57-63).
-        # The self term is computed at NODE granularity and gathered as
-        # (M,) fp32 SCALARS: xi[m].a_self == (x_pad @ a_self)[flat[m]]
-        # bitwise (same bf16 rows, same fp32-accum dot), so this drops a
-        # full (M, D) streaming pass from the forward AND its (M, D)
-        # outer-product cotangent from the backward — the score VJP is
-        # now a scalar seg_sum (zero-mean, prefix-sum-safe) plus an
-        # (N, D) rank-1 update.
-        s_node = jnp.dot(x_pad, a[:d, 0].astype(dt),
-                         preferred_element_type=jnp.float32)  # (N+1,)
         e_flat = (
-            seg_gather(s_node, flat, perm, ptr)
+            jnp.dot(xi, a[:d, 0].astype(dt),
+                    preferred_element_type=jnp.float32)
             + jnp.tile(jnp.dot(edge_emb, a[d:, 0].astype(dt),
                                preferred_element_type=jnp.float32), k)
         )  # (M,) fp32 scores
